@@ -1,0 +1,117 @@
+"""Representation round-trip and parity tests.
+
+The reference's representations are numpy-domain invertible transforms
+(/root/reference/tqdne/representation.py); we verify exact-inverse
+properties, window-placement parity of the O(N) moving average against
+np.convolve, and host/device STFT+Griffin-Lim parity.
+"""
+
+import numpy as np
+import pytest
+
+from tqdne_tpu.data import representation as rep
+from tqdne_tpu.data import spectral as nps
+from tqdne_tpu.ops import spectral as jsp
+
+
+def _waveform(rng, shape=(2, 3, 4064)):
+    t = np.linspace(0, 40.64, shape[-1])
+    base = np.sin(2 * np.pi * 3.0 * t) * np.exp(-(((t - 12) / 6) ** 2))
+    x = base + 0.05 * rng.standard_normal(shape)
+    return x.astype(np.float32)
+
+
+def test_identity_roundtrip(rng):
+    x = _waveform(rng)
+    r = rep.Identity()
+    np.testing.assert_array_equal(r.invert_representation(r.get_representation(x)), x)
+
+
+def test_normalization_roundtrip(rng):
+    x = _waveform(rng)
+    r = rep.Normalization(mean=0.1, std=2.5)
+    np.testing.assert_allclose(r.invert_representation(r.get_representation(x)), x, rtol=1e-4, atol=1e-6)
+
+
+def test_moving_average_matches_convolve(rng):
+    x = np.abs(rng.standard_normal(500))
+    for w in (128, 64, 7):
+        want = np.convolve(x, np.ones(w) / w, mode="same")
+        got = rep.moving_average_same(x, w)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_moving_average_envelope_roundtrip(rng):
+    x = _waveform(rng)
+    r = rep.MovingAverageEnvelope()
+    signal = r.get_representation(x)
+    assert signal.shape == (2, 6, 4064)  # 3ch -> 6ch
+    back = r.invert_representation(signal)
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-6)
+
+
+def test_stft_istft_roundtrip(rng):
+    x = _waveform(rng, (3, 4064))
+    spec = nps.stft(x, 256, 32)
+    assert spec.shape == (3, 129, 128)
+    back = nps.istft(spec, 256, 32, 4064)
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-6)
+
+
+def test_jax_stft_matches_numpy(rng):
+    x = _waveform(rng, (2, 4064))
+    want = nps.stft(x, 256, 32)
+    got = np.asarray(jsp.stft(x, 256, 32))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_jax_istft_matches_numpy(rng):
+    x = _waveform(rng, (2, 4064))
+    spec = nps.stft(x, 256, 32)
+    want = nps.istft(spec, 256, 32, 4064)
+    got = np.asarray(jsp.istft(spec.astype(np.complex64), 256, 32, 4064))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_log_spectrogram_shape_and_range(rng):
+    x = _waveform(rng)
+    r = rep.LogSpectrogram(hop_size=32)
+    signal = r.get_representation(x)
+    assert signal.shape == (2, 3, 128, 128)  # 128x128 "image" per channel
+    assert signal.min() >= -1.0 - 1e-6  # clip floor maps to exactly -1
+    assert np.isfinite(signal).all()
+    # log_max=3 is an *empirical* normalization constant: values land in
+    # [-1, 1] for data scaled like the training set.
+    x_small = x * 1e-2
+    signal_small = rep.LogSpectrogram(hop_size=32).get_representation(x_small)
+    assert signal_small.max() <= 1.0 + 1e-6
+
+
+@pytest.mark.slow
+def test_log_spectrogram_griffin_lim_reconstruction(rng):
+    """Griffin-Lim recovers a waveform whose spectrogram matches the input's."""
+    x = _waveform(rng, (1, 4064))
+    r = rep.LogSpectrogram(hop_size=32, n_iter=32)
+    signal = r.get_representation(x)
+    back = r.invert_representation(signal)
+    assert back.shape == x.shape
+    # compare magnitude spectrograms (phase is not identifiable)
+    mag_x = np.abs(nps.stft(x, 256, 32))
+    mag_b = np.abs(nps.stft(back, 256, 32))
+    rel = np.linalg.norm(mag_x - mag_b) / np.linalg.norm(mag_x)
+    assert rel < 0.35  # phase recovery keeps spectral content
+
+
+def test_jax_griffin_lim_matches_numpy_quality(rng):
+    """Device Griffin-Lim reconstructs as well as the host version."""
+    import jax
+
+    x = _waveform(rng, (1, 4064))
+    mag = np.abs(nps.stft(x, 256, 32)).astype(np.float32)
+    out_np = nps.griffin_lim(mag, 256, 32, 4064, n_iter=16, seed=0)
+    out_j = np.asarray(
+        jsp.griffin_lim(mag, jax.random.key(0), 256, 32, 4064, n_iter=16)
+    )
+    err_np = np.linalg.norm(np.abs(nps.stft(out_np, 256, 32)) - mag)
+    err_j = np.linalg.norm(np.abs(nps.stft(out_j, 256, 32)) - mag)
+    assert err_j < err_np * 1.5 + 1e-3

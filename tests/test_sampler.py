@@ -1,0 +1,111 @@
+"""Heun sampler correctness.
+
+Strategy: with a *linear* ground-truth denoiser the EDM probability-flow
+ODE has an analytic solution, so we can check the scan-based sampler
+converges to it; we also check the lax.scan implementation against a
+plain Python-loop reimplementation of the reference algorithm
+(/root/reference/tqdne/edm.py:171-230) step by step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tqdne_tpu.diffusion import edm, sampler
+
+CFG = edm.EDMConfig()
+
+
+def _python_loop_heun(denoise_fn, eps, sigmas):
+    """Direct transliteration of the reference deterministic sampler semantics."""
+    x_next = np.asarray(eps, dtype=np.float64)
+    sig = np.asarray(sigmas, dtype=np.float64)
+    n = len(sig) - 1
+    batch = x_next.shape[0]
+    for i in range(n):
+        s, s_next = sig[i], sig[i + 1]
+        x_cur = x_next
+        pred = np.asarray(denoise_fn(jnp.asarray(x_cur, jnp.float32), jnp.full((batch,), s, jnp.float32)), np.float64)
+        d_cur = (x_cur - pred) / s
+        x_next = x_cur + d_cur * (s_next - s)
+        if i < n - 1:
+            pred2 = np.asarray(denoise_fn(jnp.asarray(x_next, jnp.float32), jnp.full((batch,), s_next, jnp.float32)), np.float64)
+            d_prime = (x_next - pred2) / s_next
+            x_next = x_cur + (s_next - s) * (0.5 * d_cur + 0.5 * d_prime)
+    return x_next
+
+
+def _linear_denoiser(target, sigma_data=0.5):
+    """Optimal denoiser for a Gaussian N(target, 0) data distribution is the
+    posterior mean: D(x, sigma) = (sigma_data^2 x + sigma^2 target)/(...)
+    -- here the simplest contracting denoiser D(x) = target works too and
+    drives every sample to `target` as sigma -> 0."""
+
+    def fn(x, sigma):
+        return jnp.broadcast_to(target, x.shape).astype(x.dtype)
+
+    return fn
+
+
+def test_scan_matches_python_loop():
+    key = jax.random.key(0)
+    shape = (2, 12, 3)
+    sigmas = edm.sampling_sigmas(CFG, 10, dtype=jnp.float32)
+    eps = jax.random.normal(key, shape, dtype=jnp.float32) * sigmas[0]
+
+    # a nontrivial but deterministic denoiser
+    def denoise(x, sigma):
+        return jnp.tanh(x) * 0.5
+
+    got = sampler.heun_deterministic(denoise, eps, sigmas)
+    want = _python_loop_heun(denoise, eps, sigmas)
+    np.testing.assert_allclose(np.asarray(got, np.float64), want, rtol=2e-4, atol=2e-5)
+
+
+def test_deterministic_sampling_hits_point_mass():
+    target = jnp.array([0.3, -0.2, 0.1])
+    denoise = _linear_denoiser(target)
+    out = sampler.sample(
+        denoise, jax.random.key(1), (4, 8, 3), CFG, num_steps=25, deterministic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(target), (4, 8, 3)), atol=1e-3
+    )
+
+
+def test_stochastic_sampling_hits_point_mass():
+    target = jnp.array([0.3, -0.2, 0.1])
+    denoise = _linear_denoiser(target)
+    out = sampler.sample(
+        denoise, jax.random.key(2), (4, 8, 3), CFG, num_steps=64, deterministic=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(target), (4, 8, 3)), atol=5e-3
+    )
+
+
+def test_sampler_is_jittable_and_deterministic():
+    denoise = _linear_denoiser(jnp.zeros(3))
+    f = jax.jit(
+        lambda k: sampler.sample(denoise, k, (2, 8, 3), CFG, num_steps=5)
+    )
+    a = f(jax.random.key(3))
+    b = f(jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_network_eval_count():
+    """Deterministic Heun with N steps must evaluate the net 2N-1 times."""
+    calls = []
+
+    def denoise(x, sigma):
+        calls.append(1)
+        return jnp.zeros_like(x)
+
+    sigmas = edm.sampling_sigmas(CFG, 7)
+    eps = jnp.ones((1, 4, 1)) * sigmas[0]
+    # trace once (python-level call count equals traced calls: cond branches
+    # count once each; the last step's false-branch does not call denoise).
+    jax.make_jaxpr(lambda e: sampler.heun_deterministic(denoise, e, sigmas))(eps)
+    # scan traces body once: 1 denoise + 1 in cond branch = 2 traced calls
+    assert len(calls) == 2
