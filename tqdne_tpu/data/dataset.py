@@ -1,0 +1,182 @@
+"""HDF5-backed datasets with the reference's deterministic split.
+
+Storage contract (SURVEY L-1; /root/reference/experiments/build_dataset.py):
+``preprocessed_waveforms.h5`` with keys
+- waveforms:                (N, 3, T) float32
+- normalized_features:      (N, 5) float32 (z-scored conditioning)
+- indices_valid_waveforms:  (N,) int    (last valid sample per trace)
+- per-feature raw arrays:   hypocentral_distance, magnitude, vs30,
+                            hypocentre_depth, azimuthal_gap
+
+Split parity with /root/reference/tqdne/dataset.py:34-51: a seed-42
+numpy permutation, 85/5/10 train/validation/test, plus "train_validation"
+and "full".
+
+Unlike the torch map-style dataset (per-item reads in worker processes),
+batches are read as *sorted slabs* from HDF5 and representations are
+applied vectorized over the whole batch — see tqdne_tpu.data.pipeline.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from tqdne_tpu.data.representation import Representation
+
+
+def split_indices(n: int, split: str, seed: int = 42) -> np.ndarray:
+    indices = np.arange(n)
+    rng = np.random.default_rng(seed=seed)
+    shuffled = rng.permutation(indices)
+    n_train = int(n * 0.85)
+    n_val = int(n * 0.9)
+    if split == "full":
+        return indices
+    if split == "train":
+        return shuffled[:n_train]
+    if split == "validation":
+        return shuffled[n_train:n_val]
+    if split == "train_validation":
+        return shuffled[:n_val]
+    if split == "test":
+        return shuffled[n_val:]
+    raise ValueError(f"Unknown split {split}")
+
+
+class Dataset:
+    """Seismic waveform dataset (dataset.py:7-83 parity)."""
+
+    def __init__(
+        self,
+        datapath: str | Path,
+        representation: Representation,
+        cut: int | None = None,
+        cond: bool = False,
+        split: str = "train",
+    ):
+        import h5py
+
+        self.representation = representation
+        self.cut = cut
+        self.use_conditioning = cond
+        self.file = h5py.File(datapath, "r", locking=False)
+        self.waveforms = self.file["waveforms"]
+        self.cond = self.file["normalized_features"] if cond else None
+        self.indices = split_indices(len(self.waveforms), split)
+
+    def sorted_indices(self) -> np.ndarray:
+        return np.sort(self.indices)
+
+    def get_feature(self, key: str) -> np.ndarray:
+        return self.file[key][:][self.indices]
+
+    def close(self):
+        self.file.close()
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def load_batch(self, batch_indices: np.ndarray) -> dict:
+        """Read a batch (dataset-relative indices) as a dict of numpy arrays.
+
+        Reads HDF5 rows in sorted order (libhdf5 requirement + locality),
+        then restores the requested order.  Representation is applied
+        vectorized over the whole batch.
+        """
+        file_idx = self.indices[batch_indices]
+        order = np.argsort(file_idx)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        sorted_idx = file_idx[order]
+        # h5py requires strictly increasing unique indices
+        uniq, uinv = np.unique(sorted_idx, return_inverse=True)
+        waveforms = self.waveforms[uniq][uinv][inv]
+        valid = self.file["indices_valid_waveforms"][uniq][uinv][inv]
+        if self.cut:
+            waveforms = waveforms[:, :, : self.cut]
+        signal = self.representation.get_representation(waveforms)
+        out = {
+            "waveform": waveforms.astype(np.float32),
+            "signal": np.asarray(signal, dtype=np.float32),
+            "valid_index": np.asarray(valid, dtype=np.int32),
+        }
+        if self.use_conditioning:
+            out["cond"] = self.cond[uniq][uinv][inv].astype(np.float32)
+        return out
+
+    def __getitem__(self, index: int) -> dict:
+        batch = self.load_batch(np.array([index]))
+        return {k: v[0] for k, v in batch.items()}
+
+
+class ClassificationDataset(Dataset):
+    """Magnitude x distance bin labels (dataset.py:86-112 parity):
+    label = dist_bin * (n_mag_bins - 1) + mag_bin."""
+
+    def __init__(self, datapath, representation, mag_bins, dist_bins, cut=None, split="train"):
+        super().__init__(datapath, representation, cut=cut, cond=False, split=split)
+        dist = self.file["hypocentral_distance"][:]
+        mag = self.file["magnitude"][:]
+        self.labels = (
+            (np.digitize(dist, dist_bins) - 1) * (len(mag_bins) - 1)
+            + np.digitize(mag, mag_bins)
+            - 1
+        )
+        self.num_classes = (len(mag_bins) - 1) * (len(dist_bins) - 1)
+
+    def get_class_weights(self) -> np.ndarray:
+        """Inverse-frequency class weights (dataset.py:103-107)."""
+        return np.array(
+            [1.0 / max((self.labels == c).sum(), 1) for c in range(self.num_classes)],
+            dtype=np.float32,
+        )
+
+    def load_batch(self, batch_indices: np.ndarray) -> dict:
+        out = super().load_batch(batch_indices)
+        out["label"] = self.labels[self.indices[batch_indices]].astype(np.int32)
+        return out
+
+
+def make_synthetic_dataset(
+    path: str | Path,
+    n: int = 64,
+    channels: int = 3,
+    t: int = 4096,
+    seed: int = 0,
+) -> Path:
+    """Write a small synthetic preprocessed_waveforms.h5 honoring the
+    storage contract — used by tests, benchmarks and smoke training."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    tt = np.linspace(0, t / 100.0, t, dtype=np.float32)
+    freqs = rng.uniform(0.5, 10.0, (n, channels, 1)).astype(np.float32)
+    onset = rng.uniform(3.0, 8.0, (n, 1, 1)).astype(np.float32)
+    envelope = np.exp(-((tt[None, None, :] - onset - 5.0) ** 2) / 20.0)
+    waveforms = (
+        np.sin(2 * np.pi * freqs * tt[None, None, :]) * envelope
+        + 0.01 * rng.standard_normal((n, channels, t))
+    ).astype(np.float32)
+
+    dist = rng.uniform(10, 200, n).astype(np.float32)
+    mag = rng.uniform(4.5, 7.5, n).astype(np.float32)
+    vs30 = rng.uniform(200, 800, n).astype(np.float32)
+    depth = rng.uniform(2, 100, n).astype(np.float32)
+    azgap = rng.uniform(30, 330, n).astype(np.float32)
+    feats = np.stack([dist, mag, vs30, depth, azgap], axis=1)
+    norm_feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-8)
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("waveforms", data=waveforms)
+        f.create_dataset("normalized_features", data=norm_feats.astype(np.float32))
+        f.create_dataset("indices_valid_waveforms", data=np.full(n, t, dtype=np.int64))
+        for name, arr in zip(
+            ("hypocentral_distance", "magnitude", "vs30", "hypocentre_depth", "azimuthal_gap"),
+            (dist, mag, vs30, depth, azgap),
+        ):
+            f.create_dataset(name, data=arr)
+    return path

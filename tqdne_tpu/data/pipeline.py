@@ -1,0 +1,129 @@
+"""Host input pipeline: shuffled batches, channels-last, device prefetch.
+
+Replaces the torch DataLoader + worker processes
+(/root/reference/tqdne/dataloader.py): a background thread prepares the
+next batches (HDF5 slab read + vectorized representation + layout
+transpose) while the device steps, and `jax.device_put` with a
+NamedSharding lands each host batch directly as a global sharded array
+on the data-parallel mesh — per-host slicing for multi-host is applied
+before the put, replacing DataLoader rank sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+from tqdne_tpu.data.dataset import Dataset
+
+
+def to_channels_last(batch: dict) -> dict:
+    """(B, C, *spatial) storage layout -> (B, *spatial, C) device layout."""
+    out = dict(batch)
+    for key in ("signal", "waveform", "cond_signal"):
+        if key in out and out[key].ndim >= 3:
+            out[key] = np.ascontiguousarray(np.moveaxis(out[key], 1, -1))
+    return out
+
+
+def to_channels_first(x):
+    """(B, *spatial, C) device layout -> (B, C, *spatial) storage layout."""
+    return np.moveaxis(np.asarray(x), -1, 1)
+
+
+class BatchLoader:
+    """Iterable over epochs of sharded device batches.
+
+    Parameters mirror get_train_and_val_loader semantics
+    (/root/reference/tqdne/dataloader.py:6-30): shuffle + drop_last for
+    training, sequential for eval.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        sharding: jax.sharding.Sharding | None = None,
+        prefetch: int = 2,
+        channels_last: bool = True,
+        keys: tuple[str, ...] | None = None,
+    ):
+        self.keys = keys
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.channels_last = channels_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        batches = []
+        end = n - (n % self.batch_size) if self.drop_last else n
+        for s in range(0, end, self.batch_size):
+            batches.append(idx[s : s + self.batch_size])
+        return batches
+
+    def _prepare(self, batch_idx: np.ndarray) -> dict:
+        batch = self.dataset.load_batch(batch_idx)
+        if self.keys is not None:
+            batch = {k: v for k, v in batch.items() if k in self.keys}
+        if self.channels_last:
+            batch = to_channels_last(batch)
+        if jax.process_count() > 1:
+            # per-host slice of the global batch (multi-host input sharding)
+            per = len(batch_idx) // jax.process_count()
+            s = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
+            batch = {k: v[s] for k, v in batch.items()}
+        if self.sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), batch
+            )
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batch_indices()
+        self.epoch += 1
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._prepare(b)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._prepare(b))
+            finally:
+                q.put(stop)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        thread.join()

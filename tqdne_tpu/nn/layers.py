@@ -1,0 +1,177 @@
+"""NN primitives (flax.linen, channels-last).
+
+Functional parity with /root/reference/tqdne/nn.py and blocks.py:
+fp32 GroupNorm with cast-back, dim-dispatched convolutions, zero-init
+output convolutions, Gaussian Fourier feature embeddings, nearest-x2
+upsampling and stride-2 downsampling.
+
+TPU-first design notes:
+- channels-last everywhere: the channel axis rides the 128-wide lane
+  dimension, convolutions lower to MXU matmuls without transposes;
+- `dtype` is the compute dtype (use bfloat16 on TPU for 2x MXU
+  throughput), params stay float32; GroupNorm always normalizes in
+  fp32 and casts back, mirroring GroupNorm32 (nn.py:11-13);
+- stride-2 convs use explicit symmetric (k//2, k//2) padding to match
+  torch's padding=k//2 semantics (XLA 'SAME' pads asymmetrically for
+  stride 2, which would break checkpoint-weight parity).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def norm_layer(name: str | None = None, groups: int = 32):
+    """fp32 GroupNorm(32) with cast back to input dtype (GroupNorm32 parity)."""
+    return nn.GroupNorm(
+        num_groups=groups,
+        epsilon=1e-5,  # torch nn.GroupNorm default
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class Norm32(nn.Module):
+    """GroupNorm(32) computed in float32, output cast back to input dtype.
+
+    For narrow layers (channels < 32) the group count drops to the channel
+    count; the reference never instantiates that case (all normed layers
+    have >= 64 channels), so parity is unaffected.
+    """
+
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        groups = math.gcd(self.groups, x.shape[-1])
+        return norm_layer(groups=groups)(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def conv_nd(
+    dims: int,
+    features: int,
+    kernel_size: int,
+    *,
+    stride: int = 1,
+    padding="SAME",
+    zero_init: bool = False,
+    dtype=jnp.float32,
+    name: str | None = None,
+) -> nn.Conv:
+    """1D/2D/3D convolution (channels-last), optional zero initialization.
+
+    Mirrors conv_nd (/root/reference/tqdne/nn.py:16-24) + zero_module
+    (nn.py:59-63).  For stride > 1 explicit (k//2, k//2) padding is used
+    (see module docstring).
+    """
+    if dims not in (1, 2, 3):
+        raise ValueError(f"unsupported dims: {dims}")
+    if stride != 1 and padding == "SAME":
+        padding = [(kernel_size // 2, kernel_size // 2)] * dims
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size,) * dims,
+        strides=(stride,) * dims,
+        padding=padding,
+        kernel_init=kernel_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class GaussianFourierProjection(nn.Module):
+    """Random Fourier feature embedding (blocks.py:15-26 parity).
+
+    W ~ N(0, scale^2), frozen (stop_gradient).  Input (..., ) scalar per
+    element; output (..., channels) = [sin(2 pi x W), cos(2 pi x W)].
+    """
+
+    channels: int
+    scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.channels // 2,),
+        )
+        w = jax.lax.stop_gradient(w)
+        h = x[..., None].astype(jnp.float32) * w * (2 * jnp.pi)
+        return jnp.concatenate([jnp.sin(h), jnp.cos(h)], axis=-1).astype(x.dtype)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor x2 upsampling + optional conv (blocks.py:29-66 parity)."""
+
+    channels: int
+    use_conv: bool = True
+    dims: int = 2
+    out_channels: int | None = None
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, *spatial, C); repeat each spatial axis by 2 (nearest).
+        for axis in range(1, 1 + self.dims):
+            x = jnp.repeat(x, 2, axis=axis)
+        if self.use_conv:
+            x = conv_nd(
+                self.dims,
+                self.out_channels or self.channels,
+                self.kernel_size,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv or avg-pool downsampling (blocks.py:69-108 parity)."""
+
+    channels: int
+    use_conv: bool = True
+    dims: int = 2
+    out_channels: int | None = None
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return conv_nd(
+                self.dims,
+                self.out_channels or self.channels,
+                self.kernel_size,
+                stride=2,
+                dtype=self.dtype,
+                name="op",
+            )(x)
+        assert (self.out_channels or self.channels) == self.channels
+        window = (2,) * self.dims
+        return nn.avg_pool(x, window_shape=window, strides=window)
+
+
+class MLP(nn.Module):
+    """Dense -> SiLU -> Dense, the reference's embedding MLP shape."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)

@@ -1,0 +1,68 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-node data-parallel DDP with
+NCCL all-reduce (SURVEY §2.4; e.g. /root/reference/experiments/
+train_latent_edm.py devices=4).  The TPU-native equivalent: one
+`jax.sharding.Mesh` with a `data` axis (optionally a trailing `model`
+axis for headroom), batches sharded on `data`, parameters replicated,
+and XLA inserting the gradient all-reduce over ICI when the jitted train
+step computes a global mean loss.
+
+Multi-host: `jax.distributed.initialize()` + per-host batch slicing is
+handled in tqdne_tpu.data.pipeline; the mesh here spans all global
+devices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axes: tuple[str, ...] = ("data",)) -> Mesh:
+    """Create a mesh over the first ``n_devices`` devices.
+
+    With one axis the mesh is pure data-parallel.  Pass
+    axes=("data", "model") and reshape for hybrid layouts.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(axes) == 1:
+        dev_array = np.array(devices)
+    else:
+        # default: put everything on data, model axis size 1
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+        dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a (possibly nested) host batch with the leading axis sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a global batch owned by this host (multi-host input)."""
+    n_hosts = jax.process_count()
+    idx = jax.process_index()
+    per_host = global_batch // n_hosts
+    return slice(idx * per_host, (idx + 1) * per_host)
