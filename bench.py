@@ -1,0 +1,100 @@
+"""Benchmark: sampled waveforms/sec/chip, flagship latent-spectrogram EDM.
+
+Measures the reference's headline hot path (SURVEY §3.2 / BASELINE.json
+metric): 25-step deterministic Heun EDM sampling = 49 UNet forwards on
+8x32x32 latents + one VAE decode to 3x128x128 log-spectrograms, with the
+full-size flagship architecture (2D UNet model_channels=128, mult
+(1,2,4,4), attn@ds8; /root/reference/tqdne/architectures.py:61-79 and
+experiments/train_latent_edm.py).  bfloat16 compute / f32 params &
+sampler accumulator, one chip, one jit-compiled scan.
+
+The reference publishes no throughput numbers (BASELINE.json.published
+= {}), so vs_baseline is reported against an internally recorded
+first-measurement anchor if present (BENCH_ANCHOR.json), else 1.0.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "waveforms/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+
+def build_sampler(batch: int):
+    from tqdne_tpu import configs
+    from tqdne_tpu.models.autoencoder import AutoencoderKL
+    from tqdne_tpu.models.unet import UNet
+    from tqdne_tpu.train.steps import make_edm_steps
+
+    cfg = configs.LatentSpectrogramConfig(workdir=".")
+    enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(cfg)
+    ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 128, 128, 3))
+    ae_vars = ae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
+
+    ucfg = configs.get_2d_unet_config(cfg, in_channels=8, out_channels=8)
+    unet = UNet(**ucfg, dtype=jnp.bfloat16)
+    latent_shape = (batch, 32, 32, 8)
+    params = unet.init(
+        jax.random.key(2), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,)), jnp.zeros((1, 5))
+    )
+
+    _, _, sample_fn = make_edm_steps(unet, tx=None, autoencoder=ae, num_sampling_steps=25)
+
+    cond = jnp.zeros((batch, 5))
+
+    @jax.jit
+    def run(params, ae_vars, key):
+        return sample_fn(params, key, latent_shape, cond=cond, ae_vars=ae_vars)
+
+    return lambda key: run(params, ae_vars, key)
+
+
+def main():
+    batch = 32
+    run = build_sampler(batch)
+
+    # warmup / compile
+    out = run(jax.random.key(0))
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.key(i + 1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    wps = batch * iters / dt
+
+    anchor_path = Path(__file__).parent / "BENCH_ANCHOR.json"
+    vs_baseline = 1.0
+    if anchor_path.exists():
+        anchor = json.loads(anchor_path.read_text())
+        if anchor.get("value"):
+            vs_baseline = wps / float(anchor["value"])
+    else:
+        anchor_path.write_text(
+            json.dumps({"value": wps, "note": "first recorded measurement (anchor)"})
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sampled_waveforms_per_sec_per_chip_edm_heun_latent2d",
+                "value": round(wps, 3),
+                "unit": "waveforms/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
