@@ -1,0 +1,271 @@
+"""`tqdne-train <recipe>` — all training entry points in one CLI.
+
+Recipe parity with the reference experiment scripts
+(/root/reference/experiments/train_*.py), including run names,
+architectures, optimizers, schedules, epoch counts and batch sizes:
+
+  1d_edm          EDM-MovingAvg                      train_1d_edm.py
+  1d_autoencoder  Autoencoder-1024x16-MovingAvg      train_1d_autoencoder.py
+  1d_latent_edm   Latent-EDM-MovingAvg-1024x16       train_1d_latent_edm.py
+  autoencoder     Autoencoder-32x32x4-LogSpectrogram train_autoencoder.py
+  edm             EDM-128x128-LogSpectrogram         train_edm.py
+  latent_edm      Latent-EDM-32x32x8-LogSpectrogram  train_latent_edm.py (flagship)
+  classifier      Classifier-LogSpectrogram          train_classifier.py
+  consistency     Consistency-MovingAvg              consistency_model.py (standalone)
+  ddpm            DDPM-MovingAvg                     diffusion.py (legacy)
+
+TPU-native differences: one process drives the whole device mesh
+(instead of DDP ranks), bf16 compute by default (--dtype f32 for the
+reference's precision 32), orbax checkpoints, JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tqdne_tpu import configs
+from tqdne_tpu.cli import common
+from tqdne_tpu.parallel.mesh import make_mesh
+from tqdne_tpu.train.callbacks import SamplingEvalCallback
+from tqdne_tpu.train.loop import Trainer
+from tqdne_tpu.train.state import TrainState, cosine_annealing, make_optimizer
+
+
+@dataclasses.dataclass
+class Recipe:
+    name: str
+    config_cls: type
+    dims: int
+    epochs: int
+    batch: int
+    cond: bool = True
+    latent: bool = False
+    kind: str = "edm"  # edm | autoencoder | classifier | consistency | ddpm
+    ae_name: str | None = None
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    lr: float = 1e-4
+    unet_channels: dict = dataclasses.field(default_factory=dict)
+
+
+RECIPES: dict[str, Recipe] = {
+    "1d_edm": Recipe("EDM-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256),
+    "1d_autoencoder": Recipe(
+        "Autoencoder-1024x16-MovingAvg", configs.LatentMovingAverageEnvelopeConfig, 1, 200, 256,
+        cond=False, kind="autoencoder", optimizer="adamw", weight_decay=1e-4,
+    ),
+    "1d_latent_edm": Recipe(
+        "Latent-EDM-MovingAvg-1024x16", configs.LatentMovingAverageEnvelopeConfig, 1, 300, 256,
+        latent=True, ae_name="Autoencoder-1024x16-MovingAvg",
+    ),
+    "autoencoder": Recipe(
+        "Autoencoder-32x32x4-LogSpectrogram", configs.LatentSpectrogramConfig, 2, 300, 128,
+        cond=False, kind="autoencoder", optimizer="adamw", weight_decay=1e-4,
+    ),
+    "edm": Recipe("EDM-128x128-LogSpectrogram", configs.SpectrogramConfig, 2, 300, 64),
+    "latent_edm": Recipe(
+        "Latent-EDM-32x32x8-LogSpectrogram", configs.LatentSpectrogramConfig, 2, 200, 256,
+        latent=True, ae_name="Autoencoder-32x32x4-LogSpectrogram",
+    ),
+    "classifier": Recipe(
+        "Classifier-LogSpectrogram", configs.SpectrogramClassificationConfig, 2, 110, 64,
+        cond=False, kind="classifier",
+    ),
+    "consistency": Recipe(
+        "Consistency-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256,
+        kind="consistency", optimizer="radam",
+    ),
+    "ddpm": Recipe("DDPM-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256,
+                   kind="ddpm", optimizer="adamw"),
+}
+
+
+def run(recipe_key: str, args):
+    common.setup_logging()
+    recipe = RECIPES[recipe_key]
+    config = recipe.config_cls(workdir=args.workdir)
+    common.ensure_dataset(config, args.synthetic)
+
+    dtype = common.parse_dtype(args.dtype)
+    mesh = make_mesh(args.num_devices)
+    batch = args.batchsize or recipe.batch
+    epochs = args.max_epochs or recipe.epochs
+
+    workdir = config.outputdir / recipe.name
+    sig_shape = common.signal_shape(config)
+
+    if recipe.kind == "classifier":
+        return _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir)
+
+    train_loader, val_loader, representation = common.make_loaders(
+        config, batch, cond=recipe.cond, mesh=mesh
+    )
+    max_steps = args.max_steps or epochs * len(train_loader)
+    tx = make_optimizer(
+        recipe.optimizer,
+        cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else recipe.lr,
+        weight_decay=recipe.weight_decay,
+    )
+
+    if recipe.kind == "autoencoder":
+        ae, enc_cfg, dec_cfg = common.build_autoencoder(config, recipe.dims, dtype, train=True)
+        from tqdne_tpu.train.steps import make_autoencoder_steps
+
+        variables = ae.init(
+            {"params": jax.random.key(args.seed), "sample": jax.random.key(1)},
+            jnp.zeros((1, *sig_shape)),
+        )
+        train_step, eval_step = make_autoencoder_steps(ae, tx, kl_weight=config.kl_weight)
+        state = TrainState.create(variables, tx)
+        extra = ()
+        callbacks = ()
+    else:
+        cond_features = len(config.features_keys) if recipe.cond else None
+        ae_vars = None
+        if recipe.latent:
+            ae, _, _ = common.build_autoencoder(config, recipe.dims, dtype)
+            ae_vars = common.load_ae_variables(config, recipe.ae_name, ae, sig_shape)
+            latent = ae.apply(
+                ae_vars, jnp.zeros((1, *sig_shape)), method="encode",
+                rngs={"sample": jax.random.key(0)},
+            )
+            model_shape = tuple(latent.shape[1:])
+        else:
+            ae = None
+            model_shape = sig_shape
+
+        unet, ucfg = common.build_unet(
+            config, recipe.dims, model_shape[-1], model_shape[-1], dtype,
+            cond_features=cond_features,
+        )
+        params = unet.init(
+            jax.random.key(args.seed), jnp.zeros((1, *model_shape)), jnp.zeros((1,)),
+            jnp.zeros((1, cond_features)) if cond_features else None,
+        )
+        state = TrainState.create(params, tx)
+
+        if recipe.kind == "edm":
+            from tqdne_tpu.train.steps import make_edm_steps
+
+            train_step, eval_step, sample_fn = make_edm_steps(unet, tx, autoencoder=ae)
+        elif recipe.kind == "consistency":
+            from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
+
+            train_step, eval_step, sample_fn = make_consistency_steps(
+                unet, tx, ConsistencyConfig(), max_steps
+            )
+        elif recipe.kind == "ddpm":
+            from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
+
+            train_step, eval_step, sample_fn = make_ddpm_steps(unet, tx, DDPMConfig())
+        else:
+            raise ValueError(recipe.kind)
+
+        extra = (ae_vars,) if recipe.latent else ()
+
+        # sampling-eval callback (LogCallback parity): 2 val batches
+        from tqdne_tpu.eval import metrics as M
+        from tqdne_tpu.eval import plots as P
+
+        val_batches = []
+        for i, b in enumerate(val_loader):
+            if i >= 2:
+                break
+            val_batches.append(jax.device_get(b))
+
+        def cb_sample(params, key, batch_host):
+            cond = jnp.asarray(batch_host["cond"]) if "cond" in batch_host else None
+            n = len(batch_host["signal"])
+            if recipe.kind == "edm":
+                return sample_fn(params, key, (n, *model_shape), cond=cond,
+                                 **({"ae_vars": extra[0]} if recipe.latent else {}))
+            if recipe.kind == "consistency":
+                return sample_fn(params, key, (n, *model_shape), cond=cond)
+            return sample_fn(params, key, (n, *model_shape), cond=cond)
+
+        n_wave_ch = 3
+        callbacks = (
+            SamplingEvalCallback(
+                cb_sample,
+                val_batches,
+                representation,
+                metrics=[M.AmplitudeSpectralDensity(fs=config.fs, channel=c, isotropic=True)
+                         for c in range(n_wave_ch)],
+                plots=[P.SamplePlot(plot_target=True, fs=config.fs, channel=c)
+                       for c in range(n_wave_ch)]
+                + [P.AmplitudeSpectralDensityPlot(fs=config.fs, channel=c)
+                   for c in range(n_wave_ch)],
+                every_n_epochs=args.eval_every,
+            ),
+        )
+
+    trainer = Trainer(
+        train_step, eval_step, mesh, workdir,
+        max_epochs=epochs, max_steps=args.max_steps,
+        extra_args=extra, callbacks=callbacks, seed=args.seed,
+        project=config.project_name,
+    )
+    trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
+
+
+def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
+    from tqdne_tpu.data.dataset import ClassificationDataset
+    from tqdne_tpu.data.pipeline import BatchLoader
+    from tqdne_tpu.models.classifier import Classifier
+    from tqdne_tpu.parallel.mesh import batch_sharding
+    from tqdne_tpu.train.steps import make_classifier_steps
+
+    representation = config.make_representation()
+    ds_train = ClassificationDataset(
+        config.datapath, representation, config.mag_bins, config.dist_bins,
+        cut=config.t, split="train_validation",
+    )
+    ds_val = ClassificationDataset(
+        config.datapath, representation, config.mag_bins, config.dist_bins,
+        cut=config.t, split="test",
+    )
+    sharding = batch_sharding(mesh)
+    keys = ("signal", "label")
+    n_dev = mesh.devices.size
+    train_loader = BatchLoader(ds_train, batch, sharding=sharding, keys=keys)
+    vb = max(n_dev, min(batch, (len(ds_val) // n_dev) * n_dev or n_dev))
+    val_loader = BatchLoader(ds_val, vb, shuffle=False, drop_last=True, sharding=sharding,
+                             keys=keys)
+
+    enc_cfg = configs.get_classifier_encoder_config(config)
+    clf = Classifier(encoder_config=enc_cfg, num_classes=config.num_classes, train=True,
+                     dtype=dtype)
+    sig_shape = common.signal_shape(config)
+    params = clf.init(jax.random.key(args.seed), jnp.zeros((1, *sig_shape)))
+
+    max_steps = args.max_steps or epochs * len(train_loader)
+    tx = make_optimizer("adam", cosine_annealing(1e-4, max_steps))
+    train_step, eval_step = make_classifier_steps(clf, tx, ds_train.get_class_weights())
+    state = TrainState.create(params, tx)
+
+    trainer = Trainer(
+        train_step, eval_step, mesh, workdir, max_epochs=epochs, max_steps=args.max_steps,
+        seed=args.seed, project=config.project_name,
+    )
+    trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("tqdne-train", description=__doc__)
+    sub = parser.add_subparsers(dest="recipe", required=True)
+    for key in RECIPES:
+        p = sub.add_parser(key)
+        common.add_common_args(p)
+    args = parser.parse_args(argv)
+    run(args.recipe, args)
+
+
+if __name__ == "__main__":
+    main()

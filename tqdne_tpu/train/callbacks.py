@@ -1,0 +1,102 @@
+"""Training callbacks.
+
+SamplingEvalCallback reproduces the reference LogCallback
+(/root/reference/tqdne/logging.py:12-98): every N epochs it runs FULL
+model sampling on a few validation batches (using EMA params, matching
+the reference's EMA swap), inverts the representation back to the
+waveform domain, evaluates a metric list on (pred, target) waveforms,
+logs the scalars, and writes comparison figures to
+workdir/plots/epoch_{e}/ (the reference posts them to wandb as Images).
+
+NaN guard parity: non-finite predictions are warned about and zeroed
+(logging.py:57-59).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+
+from tqdne_tpu.data.pipeline import to_channels_first
+from tqdne_tpu.data.representation import Representation
+
+logger = logging.getLogger("tqdne_tpu")
+
+
+class SamplingEvalCallback:
+    """Callable as cb(trainer, state, epoch, gstep).
+
+    Parameters
+    ----------
+    sample_fn:
+        (params, key, batch) -> channels-last signal samples.  Typically a
+        jit-closed wrapper of tqdne_tpu.train.steps sample_fn using the
+        batch's conditioning.
+    representation:
+        Inverts signals to waveforms (host side or jax backend).
+    metrics / plots:
+        tqdne_tpu.eval.metrics.Metric / eval.plots.Plot instances over
+        channel-first waveform batches.
+    """
+
+    def __init__(
+        self,
+        sample_fn: Callable,
+        val_batches: Sequence[dict],
+        representation: Representation,
+        metrics: Sequence = (),
+        plots: Sequence = (),
+        every_n_epochs: int = 10,
+        seed: int = 123,
+    ):
+        self.sample_fn = sample_fn
+        self.val_batches = list(val_batches)
+        self.representation = representation
+        self.metrics = list(metrics)
+        self.plots = list(plots)
+        self.every_n_epochs = every_n_epochs
+        self.seed = seed
+
+    def __call__(self, trainer, state, epoch: int, gstep: int):
+        if (epoch + 1) % self.every_n_epochs != 0:
+            return
+        preds, targets, conds = [], [], []
+        for i, batch in enumerate(self.val_batches):
+            key = jax.random.fold_in(jax.random.key(self.seed), epoch * 1000 + i)
+            pred_signal = np.asarray(self.sample_fn(state.ema_params, key, batch))
+            if not np.isfinite(pred_signal).all():
+                logger.warning("prediction contains non-finite values; zeroing (NaN guard)")
+                pred_signal = np.nan_to_num(pred_signal)
+            pred_wf = self.representation.invert_representation(
+                to_channels_first(pred_signal)
+            )
+            preds.append(pred_wf)
+            targets.append(to_channels_first(np.asarray(batch["waveform"])))
+            if "cond" in batch:
+                conds.append(np.asarray(batch["cond"]))
+
+        pred = np.concatenate(preds)
+        target = np.concatenate(targets)[:, :, : pred.shape[-1]]
+        scalars = {}
+        for metric in self.metrics:
+            try:
+                scalars[f"eval/{metric.name}"] = float(metric(pred, target))
+            except Exception as e:
+                logger.warning("metric %s failed: %s", metric.name, e)
+        if scalars:
+            trainer.writer.write(gstep, scalars)
+
+        if self.plots:
+            plotdir = Path(trainer.workdir) / "plots" / f"epoch_{epoch}"
+            plotdir.mkdir(parents=True, exist_ok=True)
+            for plot in self.plots:
+                try:
+                    fig = plot(pred, target)
+                    fig.savefig(plotdir / f"{plot.name.replace(' ', '_')}.png", dpi=100)
+                except Exception as e:
+                    logger.warning("plot %s failed: %s", plot.name, e)

@@ -61,6 +61,17 @@ class Checkpointer:
         state = self._last.restore(step, args=ocp.args.StandardRestore(abstract))
         return state, step
 
+    def restore_latest_raw(self) -> tuple[dict, int] | None:
+        """Restore the newest checkpoint as a raw pytree (nested dicts of
+        arrays) without a structural template — useful to extract a
+        sub-tree (e.g. ema_params of a frozen model) regardless of which
+        optimizer state it was trained with."""
+        step = self._last.latest_step()
+        if step is None:
+            return None
+        state = self._last.restore(step, args=ocp.args.StandardRestore())
+        return state, step
+
     def restore_best(self, template: Any) -> tuple[Any, int] | None:
         step = self._best.best_step()
         if step is None:
