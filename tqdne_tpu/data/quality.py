@@ -148,6 +148,16 @@ def compute_validity_indices(
     """Per-record validity index for (N, C, T) batches: the largest
     last-oscillating-sample across channels (process_waveforms parity —
     the most conservative cut keeps all channels' live signal)."""
+    waveforms = np.asarray(waveforms)
+    if waveforms.ndim == 3:
+        try:  # native OpenMP scan (csrc/fastops.cpp)
+            from tqdne_tpu import _fastops
+
+            return _fastops.validity_indices(
+                np.ascontiguousarray(waveforms, np.float32), window_size, min_crossings
+            )
+        except ImportError:
+            pass
     last = find_last_oscillating_sample(waveforms, window_size, min_crossings)
     return last.max(axis=-1)
 

@@ -99,6 +99,16 @@ class MovingAverageEnvelope(Representation):
 
     def get_representation(self, waveform):
         waveform = _as_numpy(waveform)
+        if waveform.ndim == 3:
+            try:  # fused native path (csrc/fastops.cpp), exact parity
+                from tqdne_tpu import _fastops
+
+                return _fastops.envelope_representation(
+                    np.ascontiguousarray(waveform, np.float32),
+                    self.window_size, self.log_eps, self.eps,
+                )
+            except ImportError:
+                pass
         env = moving_average_same(np.abs(waveform), self.window_size)
         scaled = waveform / (env + self.eps)
         log_env = np.log(env + self.log_eps) - np.log(self.log_eps) / 2
