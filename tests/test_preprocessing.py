@@ -1,0 +1,99 @@
+"""Preprocessing primitive tests (scripts/preprocessing + STEAD cores)."""
+
+import numpy as np
+import pytest
+
+from tqdne_tpu.data import preprocessing as pp
+
+
+def test_linear_interpolate_nans():
+    x = np.array([0.0, np.nan, 2.0, np.nan, np.nan, 5.0])
+    out = pp.linear_interpolate_nans(x)
+    np.testing.assert_allclose(out, [0, 1, 2, 3, 4, 5])
+
+
+def test_spectral_gap_fill_recovers_bandlimited_signal():
+    fs = 100.0
+    t = np.arange(2048) / fs
+    clean = np.sin(2 * np.pi * 3 * t) + 0.5 * np.sin(2 * np.pi * 7 * t)
+    gappy = clean.copy()
+    gappy[500:540] = np.nan
+    gappy[1200:1220] = np.nan
+    filled = pp.spectral_gap_fill(gappy, fs, num_iters=300, adaptive_band=True)
+    # gap interior recovered well for band-limited content
+    err = np.abs(filled[500:540] - clean[500:540]).max()
+    assert err < 0.3
+    # valid samples untouched
+    valid = ~np.isnan(gappy)
+    np.testing.assert_array_equal(filled[valid], gappy[valid])
+    # reference-parity default band ([0.1, 50] Hz) degenerates to ~interp
+    filled_ref = pp.spectral_gap_fill(gappy, fs)
+    np.testing.assert_array_equal(filled_ref[valid], gappy[valid])
+    assert np.isfinite(filled_ref).all()
+
+
+def test_spectral_gap_fill_raises_on_mostly_missing():
+    x = np.full(100, np.nan)
+    x[:40] = 1.0
+    with pytest.raises(ValueError):
+        pp.spectral_gap_fill(x)
+
+
+def test_azimuth_cardinal_directions():
+    # from the origin: north, east, south, west
+    assert pp.azimuth_deg(0, 0, 1, 0) == pytest.approx(0.0, abs=1e-6)
+    assert pp.azimuth_deg(0, 0, 0, 1) == pytest.approx(90.0, abs=1e-6)
+    assert pp.azimuth_deg(1, 0, 0, 0) == pytest.approx(180.0, abs=1e-6)
+    assert pp.azimuth_deg(0, 1, 0, 0) == pytest.approx(270.0, abs=1e-6)
+
+
+def test_azimuthal_gap():
+    hypo = (0.0, 0.0)
+    # stations at N, E, S -> gaps 90,90,180 -> max 180
+    stations = [(1, 0), (0, 1), (-1, 0)]
+    assert pp.azimuthal_gap(hypo, stations) == pytest.approx(180.0, abs=0.1)
+    # single station -> falls back to its azimuth
+    assert pp.azimuthal_gap(hypo, [(0, 1)]) == pytest.approx(90.0, abs=1e-6)
+    # uniform coverage -> 90 degrees
+    stations4 = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+    assert pp.azimuthal_gap(hypo, stations4) == pytest.approx(90.0, abs=0.1)
+
+
+def test_sta_lta_onset_picking(rng):
+    fs = 100.0
+    n = 4096
+    noise = 0.01 * rng.standard_normal(n)
+    sig = noise.copy()
+    onset = 2000
+    t = np.arange(n - onset) / fs
+    sig[onset:] += np.sin(2 * np.pi * 5 * t) * np.exp(-t / 5)
+    picked = pp.pick_onset(sig[None], fs)[0]
+    assert abs(int(picked) - onset) < 60  # within 0.6 s
+
+
+def test_select_records():
+    rhyp = np.array([50, 250, 100])
+    mag = np.array([5.0, 5.0, 3.0])
+    depth = np.array([10, 10, 10])
+    np.testing.assert_array_equal(pp.select_records(rhyp, mag, depth), [True, False, False])
+
+
+def test_preprocess_trace_resample_and_highpass():
+    fs_in, fs_out = 200.0, 100.0
+    t = np.arange(8192) / fs_in
+    x = 3.0 + np.sin(2 * np.pi * 5 * t)  # DC offset + 5 Hz
+    y = pp.preprocess_trace(x, fs_in, fs_out)
+    assert y.shape[-1] == 4096  # resampled 2:1
+    assert abs(y[2000:].mean()) < 0.05  # demeaned/highpassed
+    # 5 Hz content survives
+    spec = np.abs(np.fft.rfft(y[1000:]))
+    freqs = np.fft.rfftfreq(len(y[1000:]), 1 / fs_out)
+    assert freqs[spec.argmax()] == pytest.approx(5.0, abs=0.2)
+
+
+def test_cut_around_onset_padding():
+    x = np.arange(100.0)[None]
+    out = pp.cut_around_onset(x, onset=10, pre=20, total=50)
+    assert out.shape == (1, 50)
+    np.testing.assert_array_equal(out[0, :10], 0)  # left-padded
+    np.testing.assert_array_equal(out[0, 10:], np.arange(40.0))
