@@ -85,7 +85,12 @@ class Trainer:
         callbacks: Sequence = (),
         use_wandb: bool = False,
         project: str | None = None,
+        profile_steps: tuple[int, int] | None = None,
     ):
+        # jax.profiler trace capture window (start_step, stop_step) —
+        # strictly beyond reference parity (SURVEY §5: the reference only
+        # logs cumulative wall-clock)
+        self.profile_steps = profile_steps
         self.mesh = mesh
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -132,6 +137,12 @@ class Trainer:
             pending: list[tuple[int, dict]] = []
             for batch in train_loader:
                 t0 = time.perf_counter()
+                if self.profile_steps is not None:
+                    if gstep == self.profile_steps[0]:
+                        jax.profiler.start_trace(str(self.workdir / "profile"))
+                    elif gstep == self.profile_steps[1]:
+                        jax.profiler.stop_trace()
+                        logger.info("profiler trace written to %s", self.workdir / "profile")
                 key = jax.random.fold_in(self.root_key, gstep)
                 state, metrics = self._train_step(state, batch, key, *self.extra_args)
                 pending.append((gstep, metrics))
@@ -149,6 +160,13 @@ class Trainer:
                     t_train += time.perf_counter() - t0
                 if self.max_steps is not None and gstep >= self.max_steps:
                     break
+
+            if pending:  # flush the epoch's tail so short epochs still log
+                last_step, last_metrics = pending[-1]
+                host = {f"training/{k}": v for k, v in jax.device_get(last_metrics).items()}
+                host["traintime"] = t_train
+                self.writer.write(last_step, host)
+                pending.clear()
 
             val_metrics = {}
             if val_loader is not None and (epoch + 1) % self.eval_every_epochs == 0:
