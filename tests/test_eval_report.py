@@ -1,0 +1,102 @@
+"""Evaluation report + metrics tests (evaluation.ipynb replacement)."""
+
+import numpy as np
+import pytest
+
+from tqdne_tpu.eval.metrics import (
+    AmplitudeSpectralDensity,
+    MeanSquaredError,
+    asd_loss,
+    frechet_distance,
+)
+from tqdne_tpu.eval.report import evaluation_report
+
+
+def test_frechet_distance_properties(rng):
+    x = rng.standard_normal((200, 8))
+    assert frechet_distance(x, x) == pytest.approx(0.0, abs=1e-6)
+    assert frechet_distance(x, x, isotropic=True) == pytest.approx(0.0, abs=1e-9)
+    y = x + 3.0
+    assert frechet_distance(x, y) == pytest.approx(8 * 9.0, rel=0.05)  # mean shift^2 * dim
+
+
+def test_asd_metric_and_loss(rng):
+    x = rng.standard_normal((32, 3, 512))
+    m = AmplitudeSpectralDensity(fs=100, channel=0, isotropic=True)
+    assert m(x, x) == pytest.approx(0.0, abs=1e-9)
+    assert m(x, rng.standard_normal((32, 3, 512)) * 3) > 0.01
+    assert asd_loss(x, x) == 0.0
+    assert MeanSquaredError(channel=1)(x, x) == 0.0
+
+
+def _write_eval_file(path, rng, n=64):
+    import h5py
+
+    mag = rng.uniform(4.0, 9.0, n)
+    dist = rng.uniform(1.0, 199.0, n)
+    labels = None
+    with h5py.File(path, "w") as f:
+        f.create_dataset("magnitude", data=mag)
+        f.create_dataset("hypocentral_distance", data=dist)
+        f.create_dataset("vs30", data=rng.uniform(200, 800, n))
+        f.create_dataset("hypocentre_depth", data=rng.uniform(2, 90, n))
+        f.create_dataset("azimuthal_gap", data=rng.uniform(30, 330, n))
+        emb = rng.standard_normal((n, 16))
+        f.create_dataset("target_classifier_embedding", data=emb)
+        f.create_dataset("predicted_classifier_embedding", data=emb + 0.1)
+        logits = rng.standard_normal((n, 36))
+        f.create_dataset("target_classifier_pred", data=logits)
+        f.create_dataset("predicted_classifier_pred", data=logits)
+        wf = rng.standard_normal((n, 3, 256)).astype(np.float32)
+        f.create_dataset("target_waveform", data=wf)
+        f.create_dataset("predicted_waveform", data=wf + 0.05 * rng.standard_normal(wf.shape))
+        f.create_dataset("target_signal", data=np.zeros((n, 3, 8, 8), np.float32))
+        f.create_dataset("predicted_signal", data=np.zeros((n, 3, 8, 8), np.float32))
+    return path
+
+
+def test_evaluation_report(tmp_path, rng):
+    p1 = _write_eval_file(tmp_path / "rank0.h5", rng)
+    p2 = _write_eval_file(tmp_path / "rank1.h5", rng, n=32)
+    rep = evaluation_report([p1, p2], min_bin_count=2)
+    assert rep["num_samples"] == 96
+    assert rep["fid"] >= 0
+    assert rep["inception_score"] >= 1.0
+    assert len(rep["asd_frechet_per_channel"]) == 3
+    assert len(rep["mse_per_channel"]) == 3
+    assert 0.0 <= rep["classifier_accuracy_predicted"] <= 1.0
+    fid_bins = np.array(rep["fid_per_bin"])
+    assert fid_bins.shape == (6, 6)
+
+
+def test_incremental_writer_resume(tmp_path, rng):
+    from tqdne_tpu.data.preprocessing import IncrementalH5Writer
+
+    path = tmp_path / "incr.h5"
+    with IncrementalH5Writer(path) as w:
+        assert w.write("eq001", {"wf": rng.standard_normal((3, 64))})
+        assert w.write("eq002", {"wf": rng.standard_normal((3, 64))})
+    # resume: already-processed keys are skipped
+    with IncrementalH5Writer(path) as w:
+        assert w.is_processed("eq001")
+        assert not w.write("eq001", {"wf": np.zeros((3, 64))})
+        assert w.write("eq003", {"wf": rng.standard_normal((3, 64))})
+        assert w.processed_keys == {"eq001", "eq002", "eq003"}
+    diary = open(str(path) + ".diary").read().split()
+    assert diary == ["eq001", "eq002", "eq003"]
+
+
+def test_p_window_filter(rng):
+    from tqdne_tpu.data.preprocessing import p_window_filter
+
+    n = 4096
+
+    def trace(onset):
+        x = 0.01 * rng.standard_normal((3, n))
+        t = np.arange(n - onset) / 100.0
+        x[:, onset:] += np.sin(2 * np.pi * 5 * t) * np.exp(-t / 5)
+        return x
+
+    batch = np.stack([trace(500), trace(3000)])  # 5 s (in window), 30 s (out)
+    keep = p_window_filter(batch, fs=100.0, window_s=(2.0, 7.0))
+    assert keep[0] and not keep[1]

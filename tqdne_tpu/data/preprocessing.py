@@ -196,6 +196,68 @@ def preprocess_trace(
     return x
 
 
+def p_window_filter(
+    waveforms: np.ndarray,
+    fs: float = 100.0,
+    window_s: tuple[float, float] = (2.0, 7.0),
+    vertical_channel: int = 2,
+) -> np.ndarray:
+    """Keep records whose picked P onset falls inside the expected window
+    (04_filter_waveforms.py role: re-pick and drop misaligned records;
+    the reference uses PhaseNet — here the STA/LTA picker).
+
+    Short STA/LTA windows (0.3 s / 1.5 s) keep the warm-up region below
+    the window start so onsets as early as 2 s are detectable.
+    """
+    picks = pick_onset(
+        np.asarray(waveforms)[:, vertical_channel], fs, sta_s=0.3, lta_s=1.5
+    )
+    lo, hi = int(window_s[0] * fs), int(window_s[1] * fs)
+    return (picks >= lo) & (picks <= hi)
+
+
+class IncrementalH5Writer:
+    """Append-mode HDF5 writing with processed-key tracking + diary log —
+    the offline pipeline's resumability pattern
+    (01_preprocess.py:194-298,387-397): every item lands incrementally,
+    a restart skips already-processed keys, and a human-readable diary
+    records progress."""
+
+    def __init__(self, path, diary_path=None):
+        import h5py
+
+        self.path = str(path)
+        self.file = h5py.File(self.path, "a")
+        self.diary_path = str(diary_path) if diary_path else self.path + ".diary"
+
+    @property
+    def processed_keys(self) -> set[str]:
+        return set(self.file.keys())
+
+    def is_processed(self, key: str) -> bool:
+        return key in self.file
+
+    def write(self, key: str, arrays: dict):
+        if self.is_processed(key):
+            return False
+        grp = self.file.create_group(key)
+        for name, arr in arrays.items():
+            grp.create_dataset(name, data=np.asarray(arr))
+        self.file.flush()
+        with open(self.diary_path, "a") as diary:
+            diary.write(f"{key}\n")
+        return True
+
+    def close(self):
+        self.file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def cut_around_onset(
     trace: np.ndarray, onset: int, pre: int, total: int
 ) -> np.ndarray:

