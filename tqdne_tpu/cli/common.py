@@ -74,9 +74,13 @@ def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | 
     return train_loader, val_loader, representation
 
 
-def build_autoencoder(config, dims: int, dtype=jnp.float32, train: bool = False):
+def build_autoencoder(config, dims: int, dtype=jnp.float32, train: bool = False,
+                      model_channels: int | None = None):
     get = configs.get_1d_autoencoder_configs if dims == 1 else configs.get_2d_autoencoder_configs
     enc_cfg, dec_cfg = get(config)
+    if model_channels:
+        enc_cfg = enc_cfg | {"model_channels": model_channels}
+        dec_cfg = dec_cfg | {"model_channels": model_channels}
     return AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, train=train,
                          dtype=dtype), enc_cfg, dec_cfg
 
@@ -141,4 +145,20 @@ def add_common_args(parser):
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true",
+                        help="shrink model widths for smoke/integration runs")
     return parser
+
+
+def dataset_feature_stats(config) -> "np.ndarray":
+    """(5, 2) [mean, std] of the conditioning features from the dataset —
+    the normalization the reference's generate.py derives from data
+    (experiments/generate.py:82-106) instead of the CLI's hardcoded table."""
+    import h5py
+
+    with h5py.File(config.datapath, "r") as f:
+        stats = []
+        for key in config.features_keys:
+            arr = f[key][:]
+            stats.append([float(arr.mean()), float(arr.std())])
+    return np.array(stats)

@@ -112,6 +112,10 @@ def main(argv=None):
                         help="reference torch EDM .ckpt (converted on the fly)")
     parser.add_argument("--autoencoder-checkpoint", "--autoencoder_checkpoint", type=str,
                         default=None)
+    parser.add_argument("--stats-from-dataset", action="store_true",
+                        help="normalize conditioning with the workdir dataset's feature "
+                             "statistics (experiments/generate.py:82-106 behavior) instead "
+                             "of the published summary table")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_steps", type=int, default=25)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
@@ -123,7 +127,12 @@ def main(argv=None):
 
     dtype = common.parse_dtype(args.dtype)
     cond_raw = read_conditioning(args)
-    cond = normalize(cond_raw).astype(np.float32)
+    if args.stats_from_dataset:
+        stats = common.dataset_feature_stats(configs.LatentSpectrogramConfig(
+            workdir=args.workdir or "."))
+        cond = ((cond_raw - stats[:, 0]) / stats[:, 1]).astype(np.float32)
+    else:
+        cond = normalize(cond_raw).astype(np.float32)
 
     config, ae, ae_vars, unet, params = load_models(args, dtype)
     t_out = config.t or 4064

@@ -114,8 +114,12 @@ def run(recipe_key: str, args):
         weight_decay=recipe.weight_decay,
     )
 
+    tiny_mc = 32 if args.tiny else None
+
     if recipe.kind == "autoencoder":
-        ae, enc_cfg, dec_cfg = common.build_autoencoder(config, recipe.dims, dtype, train=True)
+        ae, enc_cfg, dec_cfg = common.build_autoencoder(
+            config, recipe.dims, dtype, train=True, model_channels=tiny_mc
+        )
         from tqdne_tpu.train.steps import make_autoencoder_steps
 
         variables = ae.init(
@@ -130,7 +134,8 @@ def run(recipe_key: str, args):
         cond_features = len(config.features_keys) if recipe.cond else None
         ae_vars = None
         if recipe.latent:
-            ae, _, _ = common.build_autoencoder(config, recipe.dims, dtype)
+            ae, _, _ = common.build_autoencoder(config, recipe.dims, dtype,
+                                                model_channels=tiny_mc)
             ae_vars = common.load_ae_variables(config, recipe.ae_name, ae, sig_shape)
             latent = ae.apply(
                 ae_vars, jnp.zeros((1, *sig_shape)), method="encode",
@@ -141,9 +146,11 @@ def run(recipe_key: str, args):
             ae = None
             model_shape = sig_shape
 
+        overrides = dict(cond_features=cond_features)
+        if args.tiny:
+            overrides["model_channels"] = 32
         unet, ucfg = common.build_unet(
-            config, recipe.dims, model_shape[-1], model_shape[-1], dtype,
-            cond_features=cond_features,
+            config, recipe.dims, model_shape[-1], model_shape[-1], dtype, **overrides
         )
         params = unet.init(
             jax.random.key(args.seed), jnp.zeros((1, *model_shape)), jnp.zeros((1,)),
@@ -240,6 +247,9 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
                              keys=keys)
 
     enc_cfg = configs.get_classifier_encoder_config(config)
+    if args.tiny:
+        enc_cfg["model_channels"] = 16
+        enc_cfg["out_channels"] = 32
     clf = Classifier(encoder_config=enc_cfg, num_classes=config.num_classes, train=True,
                      dtype=dtype)
     sig_shape = common.signal_shape(config)
