@@ -139,6 +139,75 @@ class ClassificationDataset(Dataset):
         return out
 
 
+class PairedDataset:
+    """Paired observed/synthetic waveforms for signal-to-signal tasks
+    (upsampling / simulation enhancement).
+
+    Capability parity with SeisbenchDataset
+    (/root/reference/tqdne/dataset.py:115-178): two aligned datasets,
+    quality filters (SNR > 1.5 on every channel, data_ratio < 10),
+    deterministic seed-42 90/10 split, and batches carrying both
+    ``signal`` and ``cond_signal``.  Storage here is a plain HDF5 pair
+    with "waveforms" (N, C, T) plus optional per-trace "snr" (N, C) and
+    "data_ratio" (N,) arrays (the seisbench-metadata equivalents).
+    """
+
+    def __init__(self, obs_path, syn_path, representation, cut: int | None = None,
+                 training: bool = True, snr_min: float = 1.5, ratio_max: float = 10.0):
+        import h5py
+
+        self.representation = representation
+        self.cut = cut
+        self.obs = h5py.File(obs_path, "r", locking=False)
+        self.syn = h5py.File(syn_path, "r", locking=False)
+        n = min(len(self.obs["waveforms"]), len(self.syn["waveforms"]))
+
+        mask = np.ones(n, bool)
+        for f in (self.obs, self.syn):
+            if "snr" in f:
+                mask &= (f["snr"][:n] > snr_min).all(axis=-1)
+            if "data_ratio" in f:
+                mask &= f["data_ratio"][:n] < ratio_max
+        indices = np.nonzero(mask)[0]
+
+        rng = np.random.default_rng(seed=42)
+        shuffled = rng.permutation(indices)
+        n_train = int(len(indices) * 0.9)
+        self.indices = shuffled[:n_train] if training else shuffled[n_train:]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def close(self):
+        self.obs.close()
+        self.syn.close()
+
+    def load_batch(self, batch_indices: np.ndarray) -> dict:
+        idx = np.sort(self.indices[batch_indices])
+        obs = self.obs["waveforms"][idx]
+        syn = self.syn["waveforms"][idx]
+        if self.cut:
+            def fit(x):
+                x = x[..., : self.cut]
+                if x.shape[-1] < self.cut:
+                    pad = self.cut - x.shape[-1]
+                    x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+                return x
+
+            obs, syn = fit(obs), fit(syn)
+        obs = np.nan_to_num(obs)
+        syn = np.nan_to_num(syn)
+        return {
+            "waveform": obs.astype(np.float32),
+            "cond_waveform": syn.astype(np.float32),
+            "signal": np.asarray(self.representation.get_representation(obs), np.float32),
+            "cond_signal": np.asarray(self.representation.get_representation(syn), np.float32),
+        }
+
+    def __getitem__(self, i: int) -> dict:
+        return {k: v[0] for k, v in self.load_batch(np.array([i])).items()}
+
+
 def make_synthetic_dataset(
     path: str | Path,
     n: int = 64,
