@@ -29,50 +29,58 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, length: int, causal: bool):
-    """One (batch*head, q-block) program: online-softmax over key tiles."""
+def _attention_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, length: int, causal: bool
+):
+    """3-D grid (batch*head, q-block, k-block) flash attention.
+
+    The k-block axis is the innermost (sequential) grid dimension, so
+    Mosaic double-buffers the K/V tile DMAs against the MXU work; the
+    online-softmax state (running max, denominator, accumulator) lives in
+    VMEM scratch across k iterations of the same q block.
+    """
     block_q, d = q_ref.shape[-2], q_ref.shape[-1]
-    padded_len = k_ref.shape[-2]
-    num_k_blocks = padded_len // block_k
+    block_k = k_ref.shape[-2]
+    qi, ki = pl.program_id(1), pl.program_id(2)
+    num_k = pl.num_programs(2)
 
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # (block_q, d), pre-scaled by caller? no: scale here
-    scale = d ** -0.25
-    q = q * scale
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    scale = d**-0.25
+    q = q_ref[0].astype(jnp.float32) * scale
+    k_tile = k_ref[0].astype(jnp.float32) * scale
+    v_tile = v_ref[0].astype(jnp.float32)
 
-    def body(ki, carry):
-        acc, m_prev, l_prev = carry
-        k_tile = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32) * scale
-        v_tile = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
 
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = k_pos < length
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask &= k_pos <= q_pos
+    s = jnp.where(mask, s, NEG_INF)
 
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < length
-        if causal:
-            mask &= k_pos <= q_pos
-        s = jnp.where(mask, s, NEG_INF)
+    m_prev = m_ref[:, 0]
+    l_prev = l_ref[:, 0]
+    m_cur = jnp.max(s, axis=-1)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, None])
+    l_ref[:, 0] = l_prev * alpha + jnp.sum(p, axis=-1)
+    m_ref[:, 0] = m_next
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-        m_cur = jnp.max(s, axis=-1)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, None])
-        l_next = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_next, l_next
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
-
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-30)[:, None]).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpret: bool):
@@ -94,19 +102,22 @@ def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpr
     vp = jnp.pad(vb, ((0, 0), (0, pad_k), (0, 0)))
     lq, lk = length + pad_q, length + pad_k
 
-    grid = (b * h, lq // block_q)
+    grid = (b * h, lq // block_q, lk // block_k)
     out = pl.pallas_call(
-        functools.partial(
-            _attention_kernel, block_k=block_k, length=length, causal=causal
-        ),
+        functools.partial(_attention_kernel, length=length, causal=causal),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, lk, d), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, lk, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qp, kp, vp)
 
