@@ -26,6 +26,19 @@ from tqdne_tpu.data.representation import moving_average_same  # noqa: E402
 from tqdne_tpu.eval.metrics import Metric  # noqa: E402
 
 
+def fig_to_image(fig):
+    """Render a matplotlib figure to a PIL image (utils.py:73-90 role) —
+    used when pushing figures to image-based metric sinks."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+    buf.seek(0)
+    return Image.open(buf).convert("RGB")
+
+
 class Plot(ABC):
     def __init__(self, channel: int | None = None):
         self.channel = channel
