@@ -51,7 +51,8 @@ def build_sampler(batch: int):
 
     @jax.jit
     def run(params, ae_vars, key):
-        return sample_fn(params, key, latent_shape, cond=cond, ae_vars=ae_vars)
+        return sample_fn(params, key, latent_shape, cond=cond, ae_vars=ae_vars,
+                         cast_params=jnp.bfloat16)
 
     return lambda key: run(params, ae_vars, key)
 

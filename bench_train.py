@@ -1,0 +1,67 @@
+"""Secondary benchmark: training samples/sec/chip, flagship latent EDM.
+
+(bench.py stays the driver's single-line headline; this measures the
+BASELINE.md companion metric.)  Full-size flagship configuration: frozen
+2D VAE encode (128x128x3 -> 32x32x8) + EDM loss + grad + Adam + EMA on
+the model_channels=128 UNet, bf16 compute / f32 params, one chip.
+
+Prints one JSON line:
+  {"metric": "train_samples_per_sec_per_chip_latent_edm", ...}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(batch: int = 64, iters: int = 10):
+    from tqdne_tpu import configs
+    from tqdne_tpu.models.autoencoder import AutoencoderKL
+    from tqdne_tpu.models.unet import UNet
+    from tqdne_tpu.train.state import TrainState, cosine_annealing, make_optimizer
+    from tqdne_tpu.train.steps import make_edm_steps
+
+    cfg = configs.LatentSpectrogramConfig(workdir=".")
+    enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(cfg)
+    ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 128, 128, 3))
+    ae_vars = ae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
+
+    ucfg = configs.get_2d_unet_config(cfg, 8, 8)
+    unet = UNet(**ucfg, dtype=jnp.bfloat16)
+    params = unet.init(jax.random.key(2), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,)),
+                       jnp.zeros((1, 5)))
+
+    tx = make_optimizer("adam", cosine_annealing(1e-4, 100_000))
+    train_step, _, _ = make_edm_steps(unet, tx, autoencoder=ae)
+    state = TrainState.create(params, tx)
+
+    batch_data = {
+        "signal": jax.random.normal(jax.random.key(3), (batch, 128, 128, 3)),
+        "cond": jnp.zeros((batch, 5)),
+    }
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    state, metrics = step(state, batch_data, jax.random.key(4), ae_vars)  # compile
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_data, jax.random.key(5 + i), ae_vars)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip_latent_edm",
+        "value": round(batch * iters / dt, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

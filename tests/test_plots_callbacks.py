@@ -1,0 +1,98 @@
+"""Plot construction + sampling-eval callback unit tests."""
+
+import numpy as np
+import pytest
+
+from tqdne_tpu.eval import plots as P
+from tqdne_tpu.eval.metrics import MeanSquaredError
+
+
+@pytest.fixture
+def waveforms(rng):
+    pred = rng.standard_normal((16, 3, 256)).astype(np.float32)
+    target = pred + 0.1 * rng.standard_normal((16, 3, 256)).astype(np.float32)
+    mag = rng.uniform(4, 9, 16)
+    dist = rng.uniform(1, 199, 16)
+    return pred, target, mag, dist
+
+
+def test_sample_plot(waveforms):
+    pred, target, *_ = waveforms
+    fig = P.SamplePlot(plot_target=True, fs=100, channel=0)(pred, target)
+    assert fig is not None
+    img = P.fig_to_image(fig)
+    assert img.size[0] > 100
+
+
+def test_upsampling_plot(waveforms):
+    pred, target, *_ = waveforms
+    fig = P.UpsamplingSamplePlot(fs=100, channel=1)(pred, target, cond_signal=target)
+    assert fig is not None
+
+
+def test_asd_plot(waveforms):
+    pred, target, *_ = waveforms
+    fig = P.AmplitudeSpectralDensityPlot(fs=100, channel=2)(pred, target)
+    assert fig is not None
+
+
+def test_bin_plot(waveforms):
+    pred, target, mag, dist = waveforms
+    plot = P.BinPlot(MeanSquaredError(channel=0), mag_bins=[4, 6, 9], dist_bins=[0, 100, 200])
+    fig = plot(pred, target, mag=mag, dist=dist)
+    assert fig is not None
+    assert plot.name.startswith("Bin ")
+
+
+def test_grid_plots(waveforms):
+    pred, target, mag, dist = waveforms
+    for cls in (P.MovingAverageEnvelopeGrid, P.AmplitudeSpectralDensityGrid):
+        fig = cls(fs=100, channel=0, mag_bins=[4, 6, 9], dist_bins=[0, 100, 200])(
+            pred, target, mag=mag, dist=dist
+        )
+        assert fig is not None
+
+
+def test_sampling_eval_callback(tmp_path, rng):
+    """Callback runs sampling, inverts, computes metrics, writes plots."""
+    import jax.numpy as jnp
+
+    from tqdne_tpu.data.representation import Identity
+    from tqdne_tpu.eval.metrics import AmplitudeSpectralDensity
+    from tqdne_tpu.train.callbacks import SamplingEvalCallback
+    from tqdne_tpu.train.loop import MetricWriter
+
+    batches = [
+        {
+            "signal": rng.standard_normal((4, 64, 3)).astype(np.float32),
+            "waveform": rng.standard_normal((4, 64, 3)).astype(np.float32),
+            "cond": np.zeros((4, 5), np.float32),
+        }
+    ]
+
+    def fake_sample(params, key, batch):
+        return jnp.asarray(batch["signal"]) * 0.5
+
+    cb = SamplingEvalCallback(
+        fake_sample, batches, Identity(),
+        metrics=[AmplitudeSpectralDensity(fs=100, channel=0, isotropic=True)],
+        plots=[P.SamplePlot(plot_target=True, fs=100, channel=0)],
+        every_n_epochs=1,
+    )
+
+    class FakeTrainer:
+        workdir = tmp_path
+        writer = MetricWriter(tmp_path)
+
+    class FakeState:
+        ema_params = {}
+
+    cb(FakeTrainer(), FakeState(), epoch=0, gstep=10)
+    assert (tmp_path / "plots" / "epoch_0").exists()
+    records = open(tmp_path / "metrics.jsonl").read()
+    assert "eval/AmplitudeSpectralDensity" in records
+
+    # period gating: epoch 1 with every_n=2 does nothing new
+    cb2 = SamplingEvalCallback(fake_sample, batches, Identity(), every_n_epochs=2)
+    cb2(FakeTrainer(), FakeState(), epoch=1, gstep=20)  # (1+1) % 2 == 0 -> runs
+    cb2(FakeTrainer(), FakeState(), epoch=2, gstep=30)  # (2+1) % 2 == 1 -> skips

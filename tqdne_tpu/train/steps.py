@@ -110,13 +110,20 @@ def make_edm_steps(
         ae_vars=None,
         num_steps: int | None = None,
         acc_dtype=jnp.float32,
+        cast_params=None,
     ):
         """EDM Heun sampling; with an AE the given ``shape`` is the *latent*
         shape and the output is decoded to signal space (edm.py:146-169).
 
         Use ``latent_shape(ae_cfg, signal_shape)`` or an encode dry-run to
         get the latent shape.
+
+        ``cast_params`` (dtype or None): pre-cast the weights ONCE before
+        the sampling scan — with bf16 compute this removes 2N-1 in-loop
+        f32->bf16 casts of the full parameter set (pure HBM traffic).
         """
+        if cast_params is not None:
+            params = jax.tree_util.tree_map(lambda p: p.astype(cast_params), params)
         key_enc, key_sample = jax.random.split(key)
         if latent and cond_signal is not None:
             cond_signal = _encode(ae_vars, cond_signal, key_enc)
