@@ -72,6 +72,21 @@ def warmup_cosine(lr: float, warmup_steps: int, total_steps: int) -> optax.Sched
     )
 
 
+def _decay_mask(params):
+    """Exclude frozen Fourier-projection weights from weight decay.
+
+    The reference creates them with requires_grad=False
+    (blocks.py:15-26), so torch optimizers never touch them; our
+    stop_gradient zeroes their grads, but AdamW's decoupled decay would
+    still shrink them without this mask.
+    """
+
+    def mask_fn(path, leaf):
+        return not (path and getattr(path[-1], "key", None) == "W")
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
 def make_optimizer(
     name: str,
     learning_rate: float | optax.Schedule,
@@ -83,7 +98,7 @@ def make_optimizer(
     if name == "adam":
         return optax.adam(learning_rate)
     if name == "adamw":
-        return optax.adamw(learning_rate, weight_decay=weight_decay)
+        return optax.adamw(learning_rate, weight_decay=weight_decay, mask=_decay_mask)
     if name == "radam":
         return optax.radam(learning_rate)
     raise ValueError(f"unknown optimizer {name}")
