@@ -32,16 +32,15 @@ class PlainResBlock(nn.Module):
     kernel_size: int = 3
     dims: int = 2
     train: bool = False
+    use_pallas_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or self.channels
-        h = Norm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = Norm32(silu=True, use_pallas=self.use_pallas_norm, name="in_norm")(x)
         h = conv_nd(self.dims, out_ch, self.kernel_size, dtype=self.dtype, name="in_conv")(h)
-        h = Norm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = Norm32(silu=True, use_pallas=self.use_pallas_norm, name="out_norm")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=not self.train)(h)
         h = conv_nd(
             self.dims, out_ch, self.kernel_size, zero_init=True, dtype=self.dtype, name="out_conv"

@@ -49,14 +49,14 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     dims: int = 2
     train: bool = False  # static: enables dropout (attribute, so remat-safe)
+    use_pallas_norm: bool = False  # fused GroupNorm+SiLU kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):
         out_ch = self.out_channels or self.channels
 
-        h = Norm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = Norm32(silu=True, use_pallas=self.use_pallas_norm, name="in_norm")(x)
         h = conv_nd(self.dims, out_ch, self.kernel_size, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(
@@ -70,10 +70,10 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = Norm32(name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             h = h + emb_out
-            h = Norm32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = Norm32(silu=True, use_pallas=self.use_pallas_norm, name="out_norm")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=not self.train)(h)
         h = conv_nd(
             self.dims, out_ch, self.kernel_size, zero_init=True, dtype=self.dtype, name="out_conv"
@@ -113,6 +113,7 @@ class UNet(nn.Module):
     use_scale_shift_norm: bool = False
     use_causal_mask: bool = False
     use_pallas_attention: bool = False
+    use_pallas_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,6 +163,7 @@ class UNet(nn.Module):
                     kernel_size=self.conv_kernel_size,
                     dims=self.dims,
                     use_scale_shift_norm=self.use_scale_shift_norm,
+                    use_pallas_norm=self.use_pallas_norm,
                     dtype=self.dtype,
                     train=train,
                     name=f"down_{block}_res",
@@ -191,6 +193,7 @@ class UNet(nn.Module):
             kernel_size=self.conv_kernel_size,
             dims=self.dims,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            use_pallas_norm=self.use_pallas_norm,
             dtype=self.dtype,
         )
         h = res_block(ch, **mid_args, train=train, name="mid_res1")(h, emb)
@@ -211,6 +214,7 @@ class UNet(nn.Module):
                     kernel_size=self.conv_kernel_size,
                     dims=self.dims,
                     use_scale_shift_norm=self.use_scale_shift_norm,
+                    use_pallas_norm=self.use_pallas_norm,
                     dtype=self.dtype,
                     train=train,
                     name=f"up_{block}_res",
@@ -233,8 +237,7 @@ class UNet(nn.Module):
         assert not hs
 
         # --- out head ---------------------------------------------------------
-        h = Norm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = Norm32(silu=True, use_pallas=self.use_pallas_norm, name="out_norm")(h)
         h = conv_nd(
             self.dims,
             self.out_channels,

@@ -36,22 +36,48 @@ def norm_layer(name: str | None = None, groups: int = 32):
     )
 
 
+class _Affine(nn.Module):
+    """scale/bias parameters with flax-GroupNorm-compatible names."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class Norm32(nn.Module):
     """GroupNorm(32) computed in float32, output cast back to input dtype.
 
     For narrow layers (channels < 32) the group count drops to the channel
     count; the reference never instantiates that case (all normed layers
     have >= 64 channels), so parity is unaffected.
+
+    ``silu=True`` appends the activation; with ``use_pallas=True`` the
+    whole GroupNorm+affine+SiLU runs as one fused Pallas kernel
+    (tqdne_tpu.ops.group_norm) — parameter paths stay identical
+    (<scope>/GroupNorm_0/{scale,bias}), so checkpoints are interchangeable
+    between the paths.
     """
 
     groups: int = 32
+    silu: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         import math
 
         groups = math.gcd(self.groups, x.shape[-1])
-        return norm_layer(groups=groups)(x.astype(jnp.float32)).astype(x.dtype)
+        if self.use_pallas:
+            from tqdne_tpu.ops.group_norm import group_norm_silu
+
+            scale, bias = _Affine(x.shape[-1], name="GroupNorm_0")()
+            return group_norm_silu(x, scale, bias, groups, 1e-5, self.silu)
+        out = norm_layer(groups=groups)(x.astype(jnp.float32)).astype(x.dtype)
+        return nn.silu(out) if self.silu else out
 
 
 def conv_nd(
