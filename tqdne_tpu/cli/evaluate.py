@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     common.setup_logging()
+    from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     import h5py
 
     dtype = common.parse_dtype(args.dtype)

@@ -89,6 +89,9 @@ RECIPES: dict[str, Recipe] = {
 
 def run(recipe_key: str, args):
     common.setup_logging()
+    from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     recipe = RECIPES[recipe_key]
     config = recipe.config_cls(workdir=args.workdir)
     common.ensure_dataset(config, args.synthetic)

@@ -21,6 +21,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed():
+    """Initialize jax.distributed for multi-host runs when launch env vars
+    are present (controller address / process count) — the TPU-native
+    replacement for torchrun process groups (experiments/README.md usage).
+    Safe no-op on single-host."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if any(k in os.environ for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                                     "MEGASCALE_COORDINATOR_ADDRESS")):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # pragma: no cover
+            import logging
+
+            logging.getLogger("tqdne_tpu").warning("jax.distributed init failed: %s", e)
+
+
 def make_mesh(n_devices: int | None = None, axes: tuple[str, ...] = ("data",)) -> Mesh:
     """Create a mesh over the first ``n_devices`` devices.
 
