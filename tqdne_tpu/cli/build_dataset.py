@@ -9,8 +9,6 @@ the stacked features into `normalized_features`, transpose waveforms
 from __future__ import annotations
 
 import argparse
-import sys
-
 import numpy as np
 
 from tqdne_tpu import configs

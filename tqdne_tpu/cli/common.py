@@ -23,7 +23,7 @@ from tqdne_tpu.data.dataset import Dataset, make_synthetic_dataset
 from tqdne_tpu.data.pipeline import BatchLoader
 from tqdne_tpu.models.autoencoder import AutoencoderKL
 from tqdne_tpu.models.unet import UNet
-from tqdne_tpu.parallel.mesh import batch_sharding, make_mesh
+from tqdne_tpu.parallel.mesh import batch_sharding
 from tqdne_tpu.train.checkpoint import Checkpointer
 
 logger = logging.getLogger("tqdne_tpu")

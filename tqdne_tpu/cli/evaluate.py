@@ -25,7 +25,6 @@ from tqdne_tpu import configs
 from tqdne_tpu.cli import common
 from tqdne_tpu.data.dataset import Dataset
 from tqdne_tpu.data.pipeline import to_channels_first, to_channels_last
-from tqdne_tpu.parallel.mesh import make_mesh
 from tqdne_tpu.train.checkpoint import Checkpointer
 
 

@@ -175,8 +175,6 @@ def consistency_sample(
 def make_consistency_steps(unet, tx, cfg: ConsistencyConfig, max_steps: int, *, ema_decay=0.999):
     """(train_step, eval_step, sample_fn) factory in the tqdne_tpu.train
     step convention; RAdam is the reference optimizer choice."""
-    import optax
-
     from tqdne_tpu.train.state import TrainState, apply_updates
 
     def _loss(params, batch, key, step):

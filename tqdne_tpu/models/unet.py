@@ -29,7 +29,6 @@ from tqdne_tpu.nn.layers import (
     Upsample,
     conv_nd,
 )
-from tqdne_tpu.utils import append_dims
 
 
 class ResBlock(nn.Module):

@@ -18,8 +18,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

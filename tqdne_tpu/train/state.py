@@ -9,7 +9,7 @@ evaluation simply reads ``state.ema_params``.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

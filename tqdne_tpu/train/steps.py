@@ -19,9 +19,6 @@ Reference loss semantics reimplemented here:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 import optax
