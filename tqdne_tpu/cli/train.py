@@ -110,9 +110,10 @@ def run(recipe_key: str, args):
         config, batch, cond=recipe.cond, mesh=mesh
     )
     max_steps = args.max_steps or epochs * len(train_loader)
+    lr_schedule = cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else None
     tx = make_optimizer(
         recipe.optimizer,
-        cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else recipe.lr,
+        lr_schedule if lr_schedule is not None else recipe.lr,
         weight_decay=recipe.weight_decay,
     )
 
@@ -219,7 +220,7 @@ def run(recipe_key: str, args):
         train_step, eval_step, mesh, workdir,
         max_epochs=epochs, max_steps=args.max_steps,
         extra_args=extra, callbacks=callbacks, seed=args.seed,
-        project=config.project_name,
+        project=config.project_name, lr_schedule=lr_schedule,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
@@ -258,13 +259,14 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     params = clf.init(jax.random.key(args.seed), jnp.zeros((1, *sig_shape)))
 
     max_steps = args.max_steps or epochs * len(train_loader)
-    tx = make_optimizer("adam", cosine_annealing(1e-4, max_steps))
+    lr_schedule = cosine_annealing(1e-4, max_steps)
+    tx = make_optimizer("adam", lr_schedule)
     train_step, eval_step = make_classifier_steps(clf, tx, ds_train.get_class_weights())
     state = TrainState.create(params, tx)
 
     trainer = Trainer(
         train_step, eval_step, mesh, workdir, max_epochs=epochs, max_steps=args.max_steps,
-        seed=args.seed, project=config.project_name,
+        seed=args.seed, project=config.project_name, lr_schedule=lr_schedule,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 

@@ -84,7 +84,10 @@ class Trainer:
         use_wandb: bool = False,
         project: str | None = None,
         profile_steps: tuple[int, int] | None = None,
+        lr_schedule: Callable | None = None,
     ):
+        # LearningRateMonitor parity (training.py:36): log lr per window
+        self.lr_schedule = lr_schedule
         # jax.profiler trace capture window (start_step, stop_step) —
         # strictly beyond reference parity (SURVEY §5: the reference only
         # logs cumulative wall-clock)
@@ -152,6 +155,8 @@ class Trainer:
                     last_step, last_metrics = pending[-1]
                     host = {f"training/{k}": v for k, v in jax.device_get(last_metrics).items()}
                     host["traintime"] = t_train
+                    if self.lr_schedule is not None:
+                        host["lr"] = float(self.lr_schedule(last_step))
                     self.writer.write(last_step, host)
                     pending.clear()
                 else:
