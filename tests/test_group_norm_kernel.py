@@ -66,3 +66,30 @@ def test_bf16_in_f32_stats(rng):
     out = group_norm_silu(x, jnp.ones(64), jnp.zeros(64), 32, 1e-5, True, True)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_unet_with_pallas_norm_matches_default(rng):
+    """use_pallas_norm=True produces the same UNet outputs (interpret on CPU)
+    with identical parameter paths (checkpoint interchangeable)."""
+    from tqdne_tpu.models.unet import UNet
+
+    kwargs = dict(
+        in_channels=3, out_channels=3, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), conv_kernel_size=5, dims=1,
+        cond_features=5,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    t = jnp.zeros((2,))
+    c = jnp.zeros((2, 5))
+    ref = UNet(**kwargs)
+    params = ref.init(jax.random.key(0), x, t, c)
+    # randomize so outputs are nonzero
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(1), len(flat))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, p.shape, p.dtype) * 0.05 for k, p in zip(keys, flat)]
+    )
+    fused = UNet(**kwargs, use_pallas_norm=True)
+    want = ref.apply(params, x, t, c)
+    got = fused.apply(params, x, t, c)  # same params tree: identical paths
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)

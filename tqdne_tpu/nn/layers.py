@@ -70,10 +70,16 @@ class Norm32(nn.Module):
 
         groups = math.gcd(self.groups, x.shape[-1])
         if self.use_pallas:
+            import jax
+
             from tqdne_tpu.ops.group_norm import group_norm_silu
 
             scale, bias = _Affine(x.shape[-1], name="GroupNorm_0")()
-            return group_norm_silu(x, scale, bias, groups, 1e-5, self.silu)
+            # interpret mode on CPU so tests exercise the same code path
+            return group_norm_silu(
+                x, scale, bias, groups, 1e-5, self.silu,
+                jax.default_backend() == "cpu",
+            )
         out = norm_layer(groups=groups)(x.astype(jnp.float32)).astype(x.dtype)
         return nn.silu(out) if self.silu else out
 
