@@ -47,7 +47,7 @@ def __getattr__(name):  # lazy re-exports (keep `import tqdne_tpu` light)
 
         return Classifier
     if name == "configs":
-        from tqdne_tpu import configs
+        import importlib
 
-        return configs
+        return importlib.import_module("tqdne_tpu.configs")
     raise AttributeError(name)
