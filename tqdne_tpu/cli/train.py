@@ -190,15 +190,25 @@ def run(recipe_key: str, args):
                 break
             val_batches.append(jax.device_get(b))
 
+        _cb_jit_cache: dict = {}
+
         def cb_sample(params, key, batch_host):
             cond = jnp.asarray(batch_host["cond"]) if "cond" in batch_host else None
             n = len(batch_host["signal"])
-            if recipe.kind == "edm":
-                return sample_fn(params, key, (n, *model_shape), cond=cond,
-                                 **({"ae_vars": extra[0]} if recipe.latent else {}))
-            if recipe.kind == "consistency":
-                return sample_fn(params, key, (n, *model_shape), cond=cond)
-            return sample_fn(params, key, (n, *model_shape), cond=cond)
+            if n not in _cb_jit_cache:  # jit once per batch size (avoid retracing)
+                if recipe.kind == "edm" and recipe.latent:
+                    _cb_jit_cache[n] = jax.jit(
+                        lambda p, k, c, av: sample_fn(p, k, (n, *model_shape), cond=c,
+                                                      ae_vars=av)
+                    )
+                else:
+                    _cb_jit_cache[n] = jax.jit(
+                        lambda p, k, c: sample_fn(p, k, (n, *model_shape), cond=c)
+                    )
+            fn = _cb_jit_cache[n]
+            if recipe.kind == "edm" and recipe.latent:
+                return fn(params, key, cond, extra[0])
+            return fn(params, key, cond)
 
         n_wave_ch = 3
         callbacks = (
