@@ -191,15 +191,13 @@ class LogSpectrogram(Representation):
         norm = (log_spec - self.log_clip) / (self.log_max - self.log_clip)  # [0, 1]
         return (norm * 2 - 1).astype(np.float32)  # [-1, 1]
 
-    def invert_representation(self, representation, clip_input: bool = True):
-        """Invert to waveforms.  ``clip_input`` clamps the model output to the
-        representation's valid [-1, 1] domain first — values outside it are
-        invalid by construction (the forward normalizes into [-1, 1]) and
-        would overflow exp() for badly-trained models; the reference instead
-        NaN-guards downstream (logging.py:57-59)."""
-        rep_arr = _as_numpy(representation)
-        if clip_input:
-            rep_arr = np.clip(rep_arr, -1.0, 1.0)
-        norm = (rep_arr + 1) / 2
+    # log-magnitude safety ceiling: e^20 ~ 5e8 is far beyond any physical
+    # spectrogram magnitude but keeps exp() finite for badly-trained model
+    # outputs (the reference instead NaN-guards downstream, logging.py:57-59)
+    log_spec_ceiling: float = 20.0
+
+    def invert_representation(self, representation):
+        norm = (_as_numpy(representation) + 1) / 2
         log_spec = norm * (self.log_max - self.log_clip) + self.log_clip
+        log_spec = np.minimum(log_spec, self.log_spec_ceiling)
         return self.invert_spectrogram(np.exp(log_spec))
