@@ -25,6 +25,10 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
+from tqdne_tpu.cli.common import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def build_sampler(batch: int):
     from tqdne_tpu import configs

@@ -17,6 +17,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from tqdne_tpu.cli.common import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main(batch: int = 64, iters: int = 10):
     from tqdne_tpu import configs

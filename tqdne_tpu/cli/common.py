@@ -38,6 +38,26 @@ def setup_logging():
             logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
         )
         root.addHandler(handler)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache — on the axon tunnel a flagship
+    train-step compile costs 10-20 min; with the cache a fresh process
+    reuses it in seconds."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or str(
+        Path(__file__).resolve().parents[2] / ".jax_cache"
+    )
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("compilation cache unavailable: %s", e)
 
 
 def parse_dtype(name: str):
