@@ -230,6 +230,7 @@ def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999):
 
     def eval_step(state: TrainState, batch, key):
         _, metrics = _loss(state.ema_params, batch, key, False)
+        metrics.pop("logits")  # scalars only for the metric loop
         return metrics
 
     return train_step, eval_step
