@@ -147,10 +147,11 @@ def main(argv=None):
                 clf_vars, jnp.asarray(to_channels_last({"signal": batch["signal"]})["signal"])
             )
             p_emb, p_logits = classify(clf_vars, jnp.asarray(pred_signal_last))
-            handles["target_classifier_embedding"][start:end] = np.asarray(t_emb)
-            handles["target_classifier_pred"][start:end] = np.asarray(t_logits)
-            handles["predicted_classifier_embedding"][start:end] = np.asarray(p_emb)[: len(idx)]
-            handles["predicted_classifier_pred"][start:end] = np.asarray(p_logits)[: len(idx)]
+            f32 = lambda x: np.asarray(x, np.float32)  # h5py can't take bf16
+            handles["target_classifier_embedding"][start:end] = f32(t_emb)
+            handles["target_classifier_pred"][start:end] = f32(t_logits)
+            handles["predicted_classifier_embedding"][start:end] = f32(p_emb)[: len(idx)]
+            handles["predicted_classifier_pred"][start:end] = f32(p_logits)[: len(idx)]
             print(f"{end}/{n}")
     print(f"wrote {outfile}")
 

@@ -41,7 +41,7 @@ class Classifier(nn.Module):
         h = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))  # global spatial mean-pool
         h = self.mlp1(nn.silu(h))
         h = self.mlp2(nn.silu(h))
-        return h
+        return h.astype(jnp.float32)  # embeddings feed host-side FID math
 
     def __call__(self, x):
         return self.head(self.embed(x)).astype(jnp.float32)
