@@ -132,7 +132,7 @@ def main(argv=None):
                 cond = np.concatenate([cond, np.zeros((pad, cond.shape[1]), np.float32)])
             key = jax.random.fold_in(jax.random.key(args.seed), start)
             pred_signal_last = np.asarray(
-                generate(params, ae_vars, key, jnp.asarray(cond))
+                generate(params, ae_vars, key, jnp.asarray(cond)), np.float32
             )[: len(idx)]
             pred_signal = to_channels_first(pred_signal_last)
             pred_waveform = representation.invert_representation(pred_signal)[..., :t]

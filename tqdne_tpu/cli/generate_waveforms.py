@@ -163,7 +163,7 @@ def main(argv=None):
             if pad:
                 batch_cond = np.concatenate([batch_cond, np.zeros((pad, 5), np.float32)])
             key = jax.random.fold_in(jax.random.key(args.seed), start)
-            signal = np.asarray(run(params, ae_vars, key, jnp.asarray(batch_cond)))
+            signal = np.asarray(run(params, ae_vars, key, jnp.asarray(batch_cond)), np.float32)
             signal = np.moveaxis(signal, -1, 1)[: bs - pad if pad else bs]
             waveforms[start : start + len(signal)] = representation.invert_representation(signal)[
                 ..., :t_out
