@@ -104,8 +104,15 @@ def evaluation_report(
                     pred_emb[m], targ_emb[m], isotropic=True
                 )
                 acc_bins[i, j] = float((pred_logits[m].argmax(-1) == labels[m]).mean())
-    report["fid_per_bin"] = fid_bins.tolist()
-    report["accuracy_per_bin"] = acc_bins.tolist()
+    def _json_safe(x):  # NaN -> None so the output is strict JSON
+        if isinstance(x, float) and not np.isfinite(x):
+            return None
+        if isinstance(x, list):
+            return [_json_safe(v) for v in x]
+        return x
+
+    report["fid_per_bin"] = _json_safe(fid_bins.tolist())
+    report["accuracy_per_bin"] = _json_safe(acc_bins.tolist())
     report["mag_bins"] = list(mag_bins)
     report["dist_bins"] = list(dist_bins)
     return report
