@@ -62,7 +62,10 @@ def build_sampler(batch: int):
 
 
 def main():
-    batch = 32
+    # batch 64 is ~12% faster than 32 on v5e (BENCH_NOTES.md); the persistent
+    # compilation cache (.jax_cache, prewarmed in-repo) keeps the first-run
+    # compile cost bounded for the driver.
+    batch = 64
     run = build_sampler(batch)
 
     # warmup / compile

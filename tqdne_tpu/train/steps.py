@@ -28,6 +28,19 @@ from tqdne_tpu.diffusion import sampler as sampler_lib
 from tqdne_tpu.train.state import TrainState, apply_updates
 
 
+def infer_latent_shape(autoencoder, ae_vars, signal_shape: tuple[int, ...]) -> tuple[int, ...]:
+    """Latent shape (without batch) for a given signal shape — the
+    reference infers it with a dummy encode (edm.py:154-157); here a
+    zero-cost abstract evaluation."""
+    out = jax.eval_shape(
+        lambda x: autoencoder.apply(
+            ae_vars, x, method="encode", rngs={"sample": jax.random.key(0)}
+        ),
+        jax.ShapeDtypeStruct((1, *signal_shape), jnp.float32),
+    )
+    return tuple(out.shape[1:])
+
+
 # --------------------------------------------------------------------------
 # EDM diffusion (optionally latent)
 # --------------------------------------------------------------------------
