@@ -84,8 +84,16 @@ def main(argv=None):
 
     bs = args.batchsize
 
+    # shard generation over all local devices (the reference parallelizes
+    # inference across torchrun ranks; here one process drives the mesh)
+    from tqdne_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    cond_sharding = batch_sharding(mesh)
+
     @jax.jit
     def generate(params, ae_vars, key, cond):
+        cond = jax.lax.with_sharding_constraint(cond, cond_sharding)
         return sample_fn(params, key, (bs, 32, 32, config.latent_channels), cond=cond,
                          ae_vars=ae_vars)
 
