@@ -23,14 +23,39 @@ from jax.experimental import pallas as pl
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
                     apply_silu: bool):
+    """Mosaic-friendly formulation: group statistics via one-hot matmuls so
+    every intermediate stays 2-D with channels on the lane dimension (a
+    (S, G, C/G) reshape would put C/G < 128 on the lanes)."""
     x = x_ref[0].astype(jnp.float32)  # (S, C) — spatial flattened, channels last
     s, c = x.shape
     gsize = c // groups
-    xg = x.reshape(s, groups, gsize)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(s, c)
-    out = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    n = float(s * gsize)
+
+    # (C, G) one-hot group membership
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // gsize
+    gid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    member = (ch_group == gid).astype(jnp.float32)
+
+    sum_c = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    sumsq_c = jnp.sum(x * x, axis=0, keepdims=True)
+    hp = jax.lax.Precision.HIGHEST  # exact f32 sums (default uses bf16 passes)
+    sum_g = jax.lax.dot_general(sum_c, member, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=hp)  # (1, G)
+    sumsq_g = jax.lax.dot_general(sumsq_c, member, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32, precision=hp)
+    mean_g = sum_g / n
+    var_g = sumsq_g / n - mean_g * mean_g
+
+    # broadcast group stats back to channels: (1, G) @ (G, C)
+    member_t = member.T  # (G, C)
+    mean_c = jax.lax.dot_general(mean_g, member_t, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32, precision=hp)  # (1, C)
+    rstd_c = jax.lax.dot_general(jax.lax.rsqrt(var_g + eps), member_t,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32, precision=hp)
+
+    out = (x - mean_c) * rstd_c
+    out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
     o_ref[0] = out.astype(o_ref.dtype)
