@@ -40,12 +40,14 @@ def build_sampler(batch: int):
     enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(cfg)
     ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((1, 128, 128, 3))
-    ae_vars = ae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
+    # jit the inits: eager init dispatches hundreds of tiny compiles through
+    # the axon tunnel (~minutes); one jitted+cached program takes seconds
+    ae_vars = jax.jit(ae.init)({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
 
     ucfg = configs.get_2d_unet_config(cfg, in_channels=8, out_channels=8)
     unet = UNet(**ucfg, dtype=jnp.bfloat16)
     latent_shape = (batch, 32, 32, 8)
-    params = unet.init(
+    params = jax.jit(unet.init)(
         jax.random.key(2), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,)), jnp.zeros((1, 5))
     )
 

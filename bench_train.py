@@ -33,12 +33,12 @@ def main(batch: int = 64, iters: int = 10):
     enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(cfg)
     ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((1, 128, 128, 3))
-    ae_vars = ae.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
+    ae_vars = jax.jit(ae.init)({"params": jax.random.key(0), "sample": jax.random.key(1)}, x)
 
     ucfg = configs.get_2d_unet_config(cfg, 8, 8)
     unet = UNet(**ucfg, dtype=jnp.bfloat16)
-    params = unet.init(jax.random.key(2), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,)),
-                       jnp.zeros((1, 5)))
+    params = jax.jit(unet.init)(jax.random.key(2), jnp.zeros((1, 32, 32, 8)),
+                                jnp.zeros((1,)), jnp.zeros((1, 5)))
 
     tx = make_optimizer("adam", cosine_annealing(1e-4, 100_000))
     train_step, _, _ = make_edm_steps(unet, tx, autoencoder=ae)

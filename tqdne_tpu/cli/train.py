@@ -125,7 +125,7 @@ def run(recipe_key: str, args):
         )
         from tqdne_tpu.train.steps import make_autoencoder_steps
 
-        variables = ae.init(
+        variables = jax.jit(ae.init)(
             {"params": jax.random.key(args.seed), "sample": jax.random.key(1)},
             jnp.zeros((1, *sig_shape)),
         )
@@ -155,7 +155,7 @@ def run(recipe_key: str, args):
         unet, ucfg = common.build_unet(
             config, recipe.dims, model_shape[-1], model_shape[-1], dtype, **overrides
         )
-        params = unet.init(
+        params = jax.jit(unet.init)(
             jax.random.key(args.seed), jnp.zeros((1, *model_shape)), jnp.zeros((1,)),
             jnp.zeros((1, cond_features)) if cond_features else None,
         )
@@ -266,7 +266,7 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     clf = Classifier(encoder_config=enc_cfg, num_classes=config.num_classes, train=True,
                      dtype=dtype)
     sig_shape = common.signal_shape(config)
-    params = clf.init(jax.random.key(args.seed), jnp.zeros((1, *sig_shape)))
+    params = jax.jit(clf.init)(jax.random.key(args.seed), jnp.zeros((1, *sig_shape)))
 
     max_steps = args.max_steps or epochs * len(train_loader)
     lr_schedule = cosine_annealing(1e-4, max_steps)
