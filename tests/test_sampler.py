@@ -109,3 +109,43 @@ def test_network_eval_count():
     jax.make_jaxpr(lambda e: sampler.heun_deterministic(denoise, e, sigmas))(eps)
     # scan traces body once: 1 denoise + 1 in cond branch = 2 traced calls
     assert len(calls) == 2
+
+
+def test_stochastic_scan_matches_python_loop():
+    """The churn sampler's lax.scan must equal a step-by-step Python
+    reimplementation with the same per-step keys (edm.py:198-230 semantics)."""
+    cfg = CFG
+    num_steps = 6
+
+    def denoise(x, sigma):
+        return jnp.tanh(x) * 0.4
+
+    sigmas = edm.sampling_sigmas(cfg, num_steps, dtype=jnp.float32)
+    key = jax.random.key(7)
+    eps = jax.random.normal(jax.random.key(8), (2, 16, 3)) * sigmas[0]
+
+    got = sampler.heun_stochastic(denoise, key, eps, sigmas, cfg)
+
+    # python loop with identical key schedule
+    keys = jax.random.split(key, num_steps)
+    sig = np.asarray(sigmas, np.float64)
+    x = np.asarray(eps, np.float64)
+    batch = x.shape[0]
+    for i in range(num_steps):
+        s, s_next = sig[i], sig[i + 1]
+        s_hat = float(edm.sigma_hat(cfg, jnp.float32(s), num_steps))
+        noise = np.asarray(jax.random.normal(keys[i], x.shape, jnp.float32), np.float64)
+        noise *= cfg.S_noise
+        x_hat = x + noise * np.sqrt(max(s_hat**2 - s**2, 0.0))
+        pred = np.asarray(denoise(jnp.asarray(x_hat, jnp.float32),
+                                  jnp.full((batch,), s_hat, jnp.float32)), np.float64)
+        d_cur = (x_hat - pred) / s_hat
+        x_next = x_hat + d_cur * (s_next - s_hat)
+        if i < num_steps - 1:
+            pred2 = np.asarray(denoise(jnp.asarray(x_next, jnp.float32),
+                                       jnp.full((batch,), s_next, jnp.float32)), np.float64)
+            d_prime = (x_next - pred2) / s_next
+            x_next = x_hat + (s_next - s_hat) * (0.5 * d_cur + 0.5 * d_prime)
+        x = x_next
+
+    np.testing.assert_allclose(np.asarray(got, np.float64), x, rtol=3e-4, atol=3e-5)
