@@ -63,11 +63,15 @@ def test_distance_binned_ratios_zero_for_identical(rng):
     assert out["ratio_values"].shape == (100,)
 
 
-def test_pga_to_mmi_monotonic():
+def test_pga_to_mmi_reference_formula():
     pga = np.array([0.001, 0.01, 0.1, 0.5, 1.0])  # g
     mmi = seismo.pga_to_mmi(pga, unit="g")
     assert (np.diff(mmi) > 0).all()
-    assert mmi.min() >= 1.0 and mmi.max() <= 10.0
+    np.testing.assert_allclose(mmi, 3.66 * np.log10(pga) + 1.66, rtol=1e-9)
+    # unit conversions agree
+    np.testing.assert_allclose(
+        seismo.pga_to_mmi(pga * 9.80665, unit="m/s^2"), mmi, rtol=1e-9
+    )
 
 
 def test_arias_and_duration():
@@ -106,3 +110,37 @@ def test_kanno2006_behavior():
     # soft site (low vs30) amplifies
     assert (seismo.kanno2006_shallow("PGA", 6.0, d, vs30=200)
             > seismo.kanno2006_shallow("PGA", 6.0, d, vs30=800)).all()
+
+
+def test_shakemap_colormap():
+    cmap = seismo.shakemap_colormap()
+    assert cmap.N == 256
+    lo = cmap(0.0)
+    hi = cmap(1.0)
+    assert lo[0] > 0.9 and lo[1] > 0.9  # near-white at MMI 1
+    assert hi[0] > 0.4 and hi[1] < 0.1  # dark red at MMI 10
+
+
+def test_sa_rotd_rotation_consistency():
+    dt = 0.01
+    t = np.arange(2048) * dt
+    c1 = np.sin(2 * np.pi * 2.0 * t) * np.exp(-(((t - 8) / 3) ** 2))
+    c2 = 0.5 * np.sin(2 * np.pi * 3.0 * t) * np.exp(-(((t - 8) / 3) ** 2))
+    base = seismo.sa_rotd(c1, c2, dt, [0.5, 1.0], num_angles=12)
+    th = np.deg2rad(30)
+    r1 = c1 * np.cos(th) + c2 * np.sin(th)
+    r2 = -c1 * np.sin(th) + c2 * np.cos(th)
+    rotated = seismo.sa_rotd(r1, r2, dt, [0.5, 1.0], num_angles=12)
+    np.testing.assert_allclose(rotated, base, rtol=0.12)  # angle-grid tolerance
+    assert base.shape == (2,)
+
+
+def test_sa_distance_table(rng):
+    n, t = 4, 1024
+    ns = rng.standard_normal((n, t))
+    ew = rng.standard_normal((n, t))
+    rhyp = np.array([20.0, 60.0, 120.0, 180.0])
+    out = seismo.sa_distance(ns, ew, rhyp, 0.01, periods=(0.3, 1.0), mag=6.0)
+    assert out["sa"].shape == (n, 2)
+    assert (out["sa"] > 0).all()
+    assert (out["gmm_pga"] > 0).all()

@@ -173,15 +173,76 @@ def calculate_distance_binned_ratios(
 
 
 def pga_to_mmi(pga: np.ndarray, unit: str = "g") -> np.ndarray:
-    """Worden et al. (2012)-style PGA -> Modified Mercalli Intensity
-    (utils.py:164-187 equivalent)."""
+    """PGA -> Modified Mercalli Intensity, the reference's empirical form
+    (utils.py:164-187): MMI = 3.66 * log10(PGA[g]) + 1.66."""
     pga = np.asarray(pga, np.float64)
-    pga_cms2 = pga * 980.665 if unit == "g" else pga * 100.0 if unit == "m/s2" else pga
-    log_pga = np.log10(np.maximum(pga_cms2, 1e-10))
-    mmi_low = 1.78 + 1.55 * log_pga
-    mmi_high = -1.60 + 3.70 * log_pga
-    mmi = np.where(log_pga <= 1.57, mmi_low, mmi_high)
-    return np.clip(mmi, 1.0, 10.0)
+    if unit == "m/s^2" or unit == "m/s2":
+        pga = pga / 9.80665
+    elif unit == "cm/s^2" or unit == "cm/s2":
+        pga = pga / 980.665
+    return 3.66 * np.log10(np.maximum(pga, 1e-12)) + 1.66
+
+
+def shakemap_colormap(mmi=None):
+    """ShakeMap MMI colormap (utils.py:97-161): the standard 11-edge color
+    scale linearly interpolated over the given MMI values."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    if mmi is None:
+        mmi = np.linspace(1, 10, 256)
+    edges = np.array(
+        [
+            [255, 255, 255], [191, 204, 255], [160, 230, 255], [128, 255, 255],
+            [122, 255, 147], [255, 255, 0], [255, 200, 0], [255, 145, 0],
+            [255, 0, 0], [200, 0, 0], [128, 0, 0],
+        ],
+        dtype=np.float64,
+    ) / 255.0
+    mmi_values = np.arange(1, 12)
+    colors = np.stack(
+        [np.interp(mmi, mmi_values, edges[:, i]) for i in range(3)], axis=1
+    )
+    return LinearSegmentedColormap.from_list("ShakeMapMMI", colors, N=len(colors))
+
+
+def sa_rotd(
+    c1: np.ndarray, c2: np.ndarray, dt: float, periods, *,
+    percentile: float = 50.0, num_angles: int = 18, damping: float = 0.05,
+) -> np.ndarray:
+    """RotD{percentile} spectral acceleration: SA of each rotated horizontal
+    component, percentile over rotation angles (the SA_distance.py /
+    smtk GMRotDpp workflow, scripts/seismo_evaluations/SA_distance.py:36-70).
+
+    c1, c2 are (..., T); returns (..., len(periods)).
+    """
+    c1 = np.asarray(c1, np.float64)
+    c2 = np.asarray(c2, np.float64)
+    thetas = np.deg2rad(np.arange(num_angles) * (180.0 / num_angles))
+    # (A, ..., T) rotations, batched through the response-spectrum solver
+    rotated = (
+        c1[None] * np.cos(thetas).reshape(-1, *([1] * c1.ndim))
+        + c2[None] * np.sin(thetas).reshape(-1, *([1] * c1.ndim))
+    )
+    sa = response_spectrum(rotated, dt, periods, damping)  # (A, ..., P)
+    return np.percentile(sa, percentile, axis=0)
+
+
+def sa_distance(
+    wf_ns: np.ndarray, wf_ew: np.ndarray, rhyp: np.ndarray, dt: float,
+    periods=(0.1, 0.3, 1.0, 2.0), *, mag: float | None = None,
+    vs30: float = 400.0, percentile: float = 50.0,
+) -> dict:
+    """SA(T) vs hypocentral distance table (+ Kanno2006 GMM comparison when
+    a magnitude is given) — the SA_distance.py evaluation."""
+    sa = sa_rotd(wf_ns, wf_ew, dt, list(periods), percentile=percentile)
+    out = {"periods": list(periods), "rhyp": np.asarray(rhyp), "sa": sa}
+    if mag is not None:
+        # distance grid for the GMM curve (PGA used as the reference IMT
+        # available in the built-in Kanno2006Shallow implementation)
+        grid = np.linspace(max(1.0, np.min(rhyp)), np.max(rhyp), 50)
+        out["gmm_distances"] = grid
+        out["gmm_pga"] = kanno2006_shallow("PGA", mag, grid, vs30)
+    return out
 
 
 def arias_intensity(acc: np.ndarray, dt: float, g: float = 9.80665) -> np.ndarray:
