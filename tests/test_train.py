@@ -224,3 +224,29 @@ def test_classifier_training_reduces_loss(h5path, mesh):
     ev = jax.jit(eval_step)(state, batch, jax.random.key(0))
     assert float(ev["accuracy"]) >= 0.0
     ds.close()
+
+
+def test_cond_signal_path(mesh):
+    """Signal-to-signal conditioning (SeisbenchDataset-style cond_signal):
+    the network input is [x | cond_signal] on the channel axis
+    (edm.py:105-113) in training AND sampling."""
+    unet = UNet(**(TINY_UNET | dict(in_channels=6, out_channels=3)))
+    tx = make_optimizer("adam", 1e-3)
+    train_step, eval_step, sample_fn = make_edm_steps(unet, tx)
+    x = jnp.zeros((1, T, 6))
+    params = unet.init(jax.random.key(0), x, jnp.zeros((1,)), jnp.zeros((1, 5)))
+    state = TrainState.create(params, tx)
+    batch = {
+        "signal": jax.random.normal(jax.random.key(1), (8, T, 3)),
+        "cond_signal": jax.random.normal(jax.random.key(2), (8, T, 3)),
+        "cond": jnp.zeros((8, 5)),
+    }
+    state, metrics = jax.jit(train_step)(state, batch, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+    ev = jax.jit(eval_step)(state, batch, jax.random.key(4))
+    assert np.isfinite(float(ev["loss"]))
+    out = sample_fn(state.ema_params, jax.random.key(5), (4, T, 3),
+                    cond=jnp.zeros((4, 5)),
+                    cond_signal=jax.random.normal(jax.random.key(6), (4, T, 3)),
+                    num_steps=2)
+    assert out.shape == (4, T, 3)
