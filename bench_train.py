@@ -22,7 +22,7 @@ from tqdne_tpu.cli.common import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(batch: int = 64, iters: int = 10):
+def main(batch: int = 64, iters: int = 50):
     from tqdne_tpu import configs
     from tqdne_tpu.models.autoencoder import AutoencoderKL
     from tqdne_tpu.models.unet import UNet
