@@ -53,6 +53,11 @@ def enable_compilation_cache(path: str | None = None):
         Path(__file__).resolve().parents[2] / ".jax_cache"
     )
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT artifacts embed host machine features; through the axon
+            # remote-compile service they may not match this host (SIGILL
+            # risk), and CPU compiles are fast anyway — skip the cache.
+            return
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
