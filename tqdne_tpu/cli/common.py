@@ -123,8 +123,9 @@ def signal_shape(config) -> tuple[int, ...]:
     """Channels-last signal shape for one example under the config's
     representation (the reference probes with fake_represent)."""
     rep = config.make_representation()
-    dummy = np.zeros((1, config.channels if config.channels != 6 else 3, config.t or 4064),
-                     np.float32)
+    # waveforms are always 3-component in the storage contract; the
+    # representation decides the signal channel count (e.g. envelope: 3->6)
+    dummy = np.zeros((1, 3, config.t or 4064), np.float32)
     sig = rep.get_representation(dummy)
     return tuple(np.moveaxis(sig, 1, -1).shape[1:])  # drop batch
 
