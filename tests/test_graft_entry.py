@@ -17,5 +17,6 @@ def test_entry_traces():
 
     fn, args = g.entry()
     out_shape = jax.eval_shape(fn, *args)
-    assert out_shape.shape == args[0].shape
+    # args = (params, x, sigma, cond); output matches the latent input x
+    assert out_shape.shape == args[1].shape
     assert np.dtype(out_shape.dtype) == np.float32
