@@ -50,7 +50,14 @@ def read_conditioning(args) -> np.ndarray:
     if args.csv:
         rows = []
         with open(args.csv) as f:
-            for row in csv_mod.DictReader(f):
+            reader = csv_mod.DictReader(f)
+            missing = [k for k in FEATURES if k not in (reader.fieldnames or ())]
+            if missing:
+                raise SystemExit(
+                    f"CSV {args.csv} is missing required columns: {', '.join(missing)} "
+                    f"(expected: {', '.join(FEATURES)}[, num_samples])"
+                )
+            for row in reader:
                 n = int(float(row.get("num_samples", 1)))
                 rows.extend([[float(row[k]) for k in FEATURES]] * n)
         return np.array(rows, np.float64)
