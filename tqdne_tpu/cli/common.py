@@ -136,7 +136,7 @@ def load_ae_variables(config, ae_name: str, ae, example_signal_shape):
     rundir = Path(config.outputdir) / ae_name
     ckptdir = rundir / "checkpoints"
     if ckptdir.exists():
-        restored = Checkpointer(ckptdir).restore_latest_raw()
+        restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckptdir}")
         state, _ = restored

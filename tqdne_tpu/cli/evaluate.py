@@ -61,7 +61,8 @@ def main(argv=None):
     ae, _, _ = common.build_autoencoder(config, 2, dtype)
     ae_vars = common.load_ae_variables(config, args.ae_name, ae, sig_shape)
     unet, _ = common.build_unet(config, 2, config.latent_channels, config.latent_channels, dtype)
-    restored = Checkpointer(config.outputdir / args.name / "checkpoints").restore_latest_raw()
+    restored = Checkpointer(config.outputdir / args.name / "checkpoints",
+                            create=False).restore_latest_raw()
     if restored is None:
         raise SystemExit(f"no EDM checkpoint for {args.name}")
     params = restored[0]["ema_params"]
@@ -71,7 +72,7 @@ def main(argv=None):
     clf_enc = configs.get_classifier_encoder_config(clf_config)
     clf = Classifier(encoder_config=clf_enc, num_classes=clf_config.num_classes, dtype=dtype)
     clf_restored = Checkpointer(
-        config.outputdir / args.classifier_name / "checkpoints"
+        config.outputdir / args.classifier_name / "checkpoints", create=False
     ).restore_latest_raw()
     if clf_restored is None:
         raise SystemExit(f"no classifier checkpoint for {args.classifier_name}")

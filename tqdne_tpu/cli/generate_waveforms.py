@@ -98,7 +98,7 @@ def load_models(args, dtype):
         from tqdne_tpu.train.checkpoint import Checkpointer
 
         ckptdir = config.outputdir / "Latent-EDM-32x32x8-LogSpectrogram" / "checkpoints"
-        restored = Checkpointer(ckptdir).restore_latest_raw()
+        restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
         if restored is None:
             raise SystemExit(f"no EDM checkpoint under {ckptdir}")
         params = restored[0]["ema_params"]

@@ -18,7 +18,10 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
-    def __init__(self, directory: str | Path, max_best: int = 3, monitor: str = "loss"):
+    def __init__(self, directory: str | Path, max_best: int = 3, monitor: str = "loss",
+                 create: bool = True):
+        """``create=False`` opens read-only: restoring from a run dir won't
+        scatter empty best/last directories when nothing was ever saved."""
         directory = Path(directory).absolute()
         self.monitor = monitor
         self._best = ocp.CheckpointManager(
@@ -27,11 +30,12 @@ class Checkpointer:
                 max_to_keep=max_best,
                 best_fn=lambda m: float(m[monitor]),
                 best_mode="min",
+                create=create,
             ),
         )
         self._last = ocp.CheckpointManager(
             directory / "last",
-            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=create),
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None):
