@@ -155,6 +155,142 @@ def load_ae_variables(config, ae_name: str, ae, example_signal_shape):
     )
 
 
+class InferenceBundle:
+    """Everything needed to sample from a trained run of any model family.
+
+    The reference selects the experiment config *by name* at evaluation
+    time (`getattr(conf, args.config)`, /root/reference/experiments/
+    evaluate.py:210, generate.py:210) and rebuilds the matching model from
+    the checkpoint.  ``build_inference`` is the equivalent here: the
+    recipe key names the family (cli.train.RECIPES), and every shape
+    (signal, latent, waveform length) is derived from the config + AE
+    instead of hardcoded flagship constants.
+    """
+
+    def __init__(self, recipe_key, recipe, config, representation, sig_shape, model_shape,
+                 params, ae_vars, raw_sample):
+        self.recipe_key = recipe_key
+        self.recipe = recipe
+        self.config = config
+        self.representation = representation
+        self.sig_shape = sig_shape  # channels-last, no batch
+        self.model_shape = model_shape  # channels-last latent/signal shape, no batch
+        self.params = params
+        self.ae_vars = ae_vars
+        self._raw_sample = raw_sample
+        self._jit_cache = {}
+
+    @property
+    def t(self) -> int:
+        return self.config.t or 4064
+
+    def jit_sample(self, batch_size: int):
+        """A callable f(key, cond) -> channels-last signal (B, *sig_shape).
+
+        jitted once per batch size; params/ae_vars ride as jit arguments
+        (never closure constants — the axon remote-compile endpoint
+        rejects large HLO constants)."""
+        if batch_size not in self._jit_cache:
+            shape = (batch_size, *self.model_shape)
+
+            def fn(params, ae_vars, key, cond):
+                return self._raw_sample(params, ae_vars, key, shape, cond)
+
+            self._jit_cache[batch_size] = jax.jit(fn)
+        jitted = self._jit_cache[batch_size]
+        return lambda key, cond: jitted(self.params, self.ae_vars, key, cond)
+
+
+def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
+                    num_steps: int = 25, tiny: bool = False,
+                    run_name: str | None = None, ae_name: str | None = None,
+                    edm_checkpoint: str | None = None,
+                    autoencoder_checkpoint: str | None = None) -> InferenceBundle:
+    """Rebuild a sampleable model for any diffusion recipe (1d_edm,
+    1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
+    deriving all shapes from the config + AE."""
+    from tqdne_tpu.cli.train import RECIPES  # late import: train imports common
+
+    recipe = RECIPES[recipe_key]
+    if recipe.kind in ("autoencoder", "classifier"):
+        raise SystemExit(f"recipe {recipe_key!r} has no sampler (kind={recipe.kind})")
+    config = recipe.config_cls(workdir=workdir)
+    representation = config.make_representation()
+    sig_shape = signal_shape(config)
+    tiny_mc = 32 if tiny else None
+
+    ae = None
+    ae_vars = None
+    model_shape = sig_shape
+    enc_cfg = dec_cfg = None
+    if recipe.latent:
+        ae, enc_cfg, dec_cfg = build_autoencoder(config, recipe.dims, dtype,
+                                                 model_channels=tiny_mc)
+        if autoencoder_checkpoint:
+            from tqdne_tpu.utils.torch_convert import (
+                convert_autoencoder,
+                load_lightning_checkpoint,
+            )
+
+            ae_sd, _ = load_lightning_checkpoint(autoencoder_checkpoint, prefix="")
+            ae_vars = convert_autoencoder(ae_sd, enc_cfg, dec_cfg)
+        else:
+            ae_vars = load_ae_variables(config, ae_name or recipe.ae_name, ae, sig_shape)
+        from tqdne_tpu.train.steps import infer_latent_shape
+
+        model_shape = infer_latent_shape(ae, ae_vars, sig_shape)
+
+    cond_features = len(config.features_keys) if recipe.cond else None
+    overrides = dict(cond_features=cond_features)
+    if tiny:
+        overrides["model_channels"] = 32
+    unet, ucfg = build_unet(config, recipe.dims, model_shape[-1], model_shape[-1], dtype,
+                            **overrides)
+
+    if edm_checkpoint:
+        from tqdne_tpu.utils.torch_convert import convert_unet, load_lightning_checkpoint
+
+        unet_sd, _ = load_lightning_checkpoint(edm_checkpoint, prefix="unet")
+        params = convert_unet(unet_sd, ucfg)
+    else:
+        name = run_name or recipe.name
+        ckptdir = Path(config.outputdir) / name / "checkpoints"
+        restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {ckptdir} (train with "
+                             f"`tqdne-train {recipe_key} --workdir {workdir}`)")
+        params = restored[0]["ema_params"]
+
+    if recipe.kind == "edm":
+        from tqdne_tpu.train.steps import make_edm_steps
+
+        _, _, sample_fn = make_edm_steps(unet, tx=None, autoencoder=ae,
+                                         num_sampling_steps=num_steps)
+
+        def raw_sample(params, ae_vars, key, shape, cond):
+            return sample_fn(params, key, shape, cond=cond, ae_vars=ae_vars)
+    elif recipe.kind == "consistency":
+        from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
+
+        _, _, sample_fn = make_consistency_steps(unet, tx=None, cfg=ConsistencyConfig(),
+                                                 max_steps=1)
+
+        def raw_sample(params, ae_vars, key, shape, cond):
+            return sample_fn(params, key, shape, cond=cond)
+    elif recipe.kind == "ddpm":
+        from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
+
+        _, _, sample_fn = make_ddpm_steps(unet, tx=None, cfg=DDPMConfig())
+
+        def raw_sample(params, ae_vars, key, shape, cond):
+            return sample_fn(params, key, shape, cond=cond)
+    else:  # pragma: no cover
+        raise ValueError(recipe.kind)
+
+    return InferenceBundle(recipe_key, recipe, config, representation, sig_shape,
+                           model_shape, params, ae_vars, raw_sample)
+
+
 def add_common_args(parser):
     parser.add_argument("--workdir", type=str, required=True,
                         help="working directory (data/ and outputs/ live here)")

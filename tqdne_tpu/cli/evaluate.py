@@ -4,11 +4,19 @@ evaluation notebooks need to HDF5.
 Parity with /root/reference/experiments/evaluate.py: per split, writes
 conditioning features plus 8 datasets (target/predicted waveform,
 target/predicted signal, target/predicted classifier embedding,
-target/predicted classifier logits).  The reference shards work across
+target/predicted classifier logits).  Like the reference, the model
+family is selected by config name (`getattr(conf, args.config)`,
+evaluate.py:210) — here `--config <recipe>` picks any diffusion recipe
+(latent_edm, edm, 1d_edm, 1d_latent_edm, consistency, ddpm) and every
+shape is derived from the config + AE.  The reference shards work across
 torchrun ranks with per-rank files and zero communication
 (evaluate.py:67-70); here one process drives all local devices (batch
 sharded over the mesh) and multi-host runs shard by jax.process_index()
 with the same per-rank file naming.
+
+Classifier embeddings/logits are written when a classifier checkpoint is
+available (the reference's classifier is spectrogram-only; 1D configs
+skip those datasets unless --classifier-name points at a compatible run).
 """
 
 from __future__ import annotations
@@ -28,20 +36,42 @@ from tqdne_tpu.data.pipeline import to_channels_first, to_channels_last
 from tqdne_tpu.train.checkpoint import Checkpointer
 
 
+def load_classifier(workdir: str, name: str, dtype):
+    """(classifier, variables, encoder_config) or None if no checkpoint."""
+    from tqdne_tpu.models.classifier import Classifier
+
+    clf_config = configs.SpectrogramClassificationConfig(workdir=workdir)
+    clf_enc = configs.get_classifier_encoder_config(clf_config)
+    ckptdir = clf_config.outputdir / name / "checkpoints"
+    restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
+    if restored is None:
+        return None
+    clf = Classifier(encoder_config=clf_enc, num_classes=clf_config.num_classes, dtype=dtype)
+    return clf, restored[0]["ema_params"], clf_enc, clf_config
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("tqdne-evaluate", description=__doc__)
     parser.add_argument("--workdir", type=str, required=True)
+    parser.add_argument("--config", type=str, default="latent_edm",
+                        help="recipe/config name (as in tqdne-train): latent_edm, edm, "
+                             "1d_edm, 1d_latent_edm, consistency, ddpm")
     parser.add_argument("--split", type=str, default="test",
                         choices=["train", "validation", "test", "train_validation", "full"])
     parser.add_argument("-b", "--batchsize", type=int, default=32)
-    parser.add_argument("--name", type=str, default="Latent-EDM-32x32x8-LogSpectrogram",
-                        help="EDM run name under outputs/")
-    parser.add_argument("--ae-name", type=str, default="Autoencoder-32x32x4-LogSpectrogram")
+    parser.add_argument("--name", type=str, default=None,
+                        help="run name under outputs/ (default: the recipe's run name)")
+    parser.add_argument("--ae-name", type=str, default=None,
+                        help="frozen AE run name (default: the recipe's)")
     parser.add_argument("--classifier-name", type=str, default="Classifier-LogSpectrogram")
+    parser.add_argument("--no-classifier", action="store_true",
+                        help="skip classifier embedding/logit datasets")
     parser.add_argument("--num_steps", type=int, default=25)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true",
+                        help="match a --tiny-trained run's model widths")
     args = parser.parse_args(argv)
     common.setup_logging()
     from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
@@ -50,38 +80,26 @@ def main(argv=None):
     import h5py
 
     dtype = common.parse_dtype(args.dtype)
-    config = configs.LatentSpectrogramConfig(workdir=args.workdir)
-    clf_config = configs.SpectrogramClassificationConfig(workdir=args.workdir)
-    representation = config.make_representation()
+    bundle = common.build_inference(
+        args.config, args.workdir, dtype, num_steps=args.num_steps, tiny=args.tiny,
+        run_name=args.name, ae_name=args.ae_name,
+    )
+    config, representation = bundle.config, bundle.representation
+    run_name = args.name or bundle.recipe.name
 
-    dataset = Dataset(config.datapath, representation, cut=config.t, cond=True, split=args.split)
+    dataset = Dataset(config.datapath, representation, cut=config.t,
+                      cond=bundle.recipe.cond, split=args.split)
 
-    # models
-    sig_shape = common.signal_shape(config)
-    ae, _, _ = common.build_autoencoder(config, 2, dtype)
-    ae_vars = common.load_ae_variables(config, args.ae_name, ae, sig_shape)
-    unet, _ = common.build_unet(config, 2, config.latent_channels, config.latent_channels, dtype)
-    restored = Checkpointer(config.outputdir / args.name / "checkpoints",
-                            create=False).restore_latest_raw()
-    if restored is None:
-        raise SystemExit(f"no EDM checkpoint for {args.name}")
-    params = restored[0]["ema_params"]
-
-    from tqdne_tpu.models.classifier import Classifier
-
-    clf_enc = configs.get_classifier_encoder_config(clf_config)
-    clf = Classifier(encoder_config=clf_enc, num_classes=clf_config.num_classes, dtype=dtype)
-    clf_restored = Checkpointer(
-        config.outputdir / args.classifier_name / "checkpoints", create=False
-    ).restore_latest_raw()
-    if clf_restored is None:
-        raise SystemExit(f"no classifier checkpoint for {args.classifier_name}")
-    clf_vars = clf_restored[0]["ema_params"]
-
-    from tqdne_tpu.train.steps import make_edm_steps
-
-    _, _, sample_fn = make_edm_steps(unet, tx=None, autoencoder=ae,
-                                     num_sampling_steps=args.num_steps)
+    clf_bundle = None
+    if not args.no_classifier:
+        clf_bundle = load_classifier(args.workdir, args.classifier_name, dtype)
+        if clf_bundle is None:
+            print(f"no classifier checkpoint for {args.classifier_name} — "
+                  "skipping embedding/logit datasets (--no-classifier to silence)")
+        elif tuple(bundle.sig_shape) != tuple(common.signal_shape(clf_bundle[3])):
+            print(f"classifier signal shape {common.signal_shape(clf_bundle[3])} != "
+                  f"config signal shape {bundle.sig_shape} — skipping classifier datasets")
+            clf_bundle = None
 
     bs = args.batchsize
 
@@ -91,18 +109,23 @@ def main(argv=None):
 
     mesh = make_mesh()
     cond_sharding = batch_sharding(mesh)
+    raw_sample = bundle._raw_sample
+    model_shape = bundle.model_shape
 
     @jax.jit
     def generate(params, ae_vars, key, cond):
-        cond = jax.lax.with_sharding_constraint(cond, cond_sharding)
-        return sample_fn(params, key, (bs, 32, 32, config.latent_channels), cond=cond,
-                         ae_vars=ae_vars)
+        if cond is not None:
+            cond = jax.lax.with_sharding_constraint(cond, cond_sharding)
+        return raw_sample(params, ae_vars, key, (bs, *model_shape), cond)
 
-    @jax.jit
-    def classify(clf_vars, signal):
-        emb = clf.apply(clf_vars, signal, method="embed")
-        logits = clf.apply(clf_vars, signal)
-        return emb, logits
+    if clf_bundle is not None:
+        clf, clf_vars, clf_enc, clf_config = clf_bundle
+
+        @jax.jit
+        def classify(clf_vars, signal):
+            emb = clf.apply(clf_vars, signal, method="embed")
+            logits = clf.apply(clf_vars, signal)
+            return emb, logits
 
     # per-host sharding of the example index space (rank-file parity)
     rank, n_ranks = jax.process_index(), jax.process_count()
@@ -112,36 +135,43 @@ def main(argv=None):
 
     outdir = Path(args.workdir) / "evaluation"
     outdir.mkdir(parents=True, exist_ok=True)
-    outfile = outdir / f"{args.name}-split_{args.split}-rank_{rank}.h5"
+    outfile = outdir / f"{run_name}-split_{args.split}-rank_{rank}.h5"
 
     n = len(all_idx)
-    emb_dim = clf_enc["out_channels"]
-    t = config.t or 4064
+    t = bundle.t
+    # channels-first signal shape derived from the representation
+    sig_cf = (bundle.sig_shape[-1], *bundle.sig_shape[:-1])
     with h5py.File(outfile, "w") as f:
         for key in config.features_keys:
             f.create_dataset(key, data=dataset.get_feature(key)[all_idx])
         dsets = {
             "target_waveform": (n, 3, t),
             "predicted_waveform": (n, 3, t),
-            "target_signal": (n, 3, 128, 128),
-            "predicted_signal": (n, 3, 128, 128),
-            "target_classifier_embedding": (n, emb_dim),
-            "predicted_classifier_embedding": (n, emb_dim),
-            "target_classifier_pred": (n, clf_config.num_classes),
-            "predicted_classifier_pred": (n, clf_config.num_classes),
+            "target_signal": (n, *sig_cf),
+            "predicted_signal": (n, *sig_cf),
         }
+        if clf_bundle is not None:
+            dsets |= {
+                "target_classifier_embedding": (n, clf_enc["out_channels"]),
+                "predicted_classifier_embedding": (n, clf_enc["out_channels"]),
+                "target_classifier_pred": (n, clf_config.num_classes),
+                "predicted_classifier_pred": (n, clf_config.num_classes),
+            }
         handles = {k: f.create_dataset(k, shape=shape, dtype="f") for k, shape in dsets.items()}
 
         for start in range(0, n, bs):
             idx = all_idx[start : start + bs]
             batch = dataset.load_batch(idx)
-            cond = batch["cond"]
-            pad = bs - len(idx)
-            if pad:
-                cond = np.concatenate([cond, np.zeros((pad, cond.shape[1]), np.float32)])
+            cond = None
+            if bundle.recipe.cond:
+                cond = batch["cond"]
+                pad = bs - len(idx)
+                if pad:
+                    cond = np.concatenate([cond, np.zeros((pad, cond.shape[1]), np.float32)])
+                cond = jnp.asarray(cond)
             key = jax.random.fold_in(jax.random.key(args.seed), start)
             pred_signal_last = np.asarray(
-                generate(params, ae_vars, key, jnp.asarray(cond)), np.float32
+                generate(bundle.params, bundle.ae_vars, key, cond), np.float32
             )[: len(idx)]
             pred_signal = to_channels_first(pred_signal_last)
             pred_waveform = representation.invert_representation(pred_signal)[..., :t]
@@ -152,15 +182,16 @@ def main(argv=None):
             handles["predicted_signal"][start:end] = pred_signal
             handles["predicted_waveform"][start:end] = pred_waveform
 
-            t_emb, t_logits = classify(
-                clf_vars, jnp.asarray(to_channels_last({"signal": batch["signal"]})["signal"])
-            )
-            p_emb, p_logits = classify(clf_vars, jnp.asarray(pred_signal_last))
-            f32 = lambda x: np.asarray(x, np.float32)  # h5py can't take bf16
-            handles["target_classifier_embedding"][start:end] = f32(t_emb)
-            handles["target_classifier_pred"][start:end] = f32(t_logits)
-            handles["predicted_classifier_embedding"][start:end] = f32(p_emb)[: len(idx)]
-            handles["predicted_classifier_pred"][start:end] = f32(p_logits)[: len(idx)]
+            if clf_bundle is not None:
+                t_emb, t_logits = classify(
+                    clf_vars, jnp.asarray(to_channels_last({"signal": batch["signal"]})["signal"])
+                )
+                p_emb, p_logits = classify(clf_vars, jnp.asarray(pred_signal_last))
+                f32 = lambda x: np.asarray(x, np.float32)  # h5py can't take bf16
+                handles["target_classifier_embedding"][start:end] = f32(t_emb)
+                handles["target_classifier_pred"][start:end] = f32(t_logits)
+                handles["predicted_classifier_embedding"][start:end] = f32(p_emb)[: len(idx)]
+                handles["predicted_classifier_pred"][start:end] = f32(p_logits)[: len(idx)]
             print(f"{end}/{n}")
     print(f"wrote {outfile}")
 

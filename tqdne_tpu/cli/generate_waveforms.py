@@ -27,7 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tqdne_tpu import configs
 from tqdne_tpu.cli import common
 
 # dataset conditional-feature summary statistics (mean, std) —
@@ -71,41 +70,6 @@ def normalize(cond_raw: np.ndarray) -> np.ndarray:
     return (cond_raw - SUMMARY_STATISTICS[:, 0]) / SUMMARY_STATISTICS[:, 1]
 
 
-def load_models(args, dtype):
-    config = configs.LatentSpectrogramConfig(workdir=args.workdir or ".")
-    ae, enc_cfg, dec_cfg = common.build_autoencoder(config, dims=2, dtype=dtype)
-    unet, ucfg = common.build_unet(config, 2, config.latent_channels, config.latent_channels,
-                                   dtype)
-
-    if args.edm_checkpoint or args.autoencoder_checkpoint:
-        if not (args.edm_checkpoint and args.autoencoder_checkpoint):
-            raise SystemExit("either both or none of the torch checkpoints must be provided")
-        from tqdne_tpu.utils.torch_convert import (
-            convert_autoencoder,
-            convert_unet,
-            load_lightning_checkpoint,
-        )
-
-        ae_sd, _ = load_lightning_checkpoint(args.autoencoder_checkpoint, prefix="")
-        ae_vars = convert_autoencoder(ae_sd, enc_cfg, dec_cfg)
-        unet_sd, _ = load_lightning_checkpoint(args.edm_checkpoint, prefix="unet")
-        params = convert_unet(unet_sd, ucfg)
-    else:
-        sig_shape = common.signal_shape(config)
-        ae_vars = common.load_ae_variables(
-            config, "Autoencoder-32x32x4-LogSpectrogram", ae, sig_shape
-        )
-        from tqdne_tpu.train.checkpoint import Checkpointer
-
-        ckptdir = config.outputdir / "Latent-EDM-32x32x8-LogSpectrogram" / "checkpoints"
-        restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
-        if restored is None:
-            raise SystemExit(f"no EDM checkpoint under {ckptdir}")
-        params = restored[0]["ema_params"]
-
-    return config, ae, ae_vars, unet, params
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser("tqdne-generate-waveforms", description=__doc__)
     for k in FEATURES:
@@ -115,6 +79,12 @@ def main(argv=None):
     parser.add_argument("--outfile", type=str, required=True)
     parser.add_argument("--workdir", type=str, default=None,
                         help="load our orbax checkpoints from this workdir's outputs/")
+    parser.add_argument("--config", type=str, default="latent_edm",
+                        help="recipe/config name (as in tqdne-train): latent_edm, edm, "
+                             "1d_edm, 1d_latent_edm, consistency, ddpm")
+    parser.add_argument("--name", type=str, default=None,
+                        help="run name under outputs/ (default: the recipe's run name)")
+    parser.add_argument("--ae-name", type=str, default=None)
     parser.add_argument("--edm-checkpoint", "--edm_checkpoint", type=str, default=None,
                         help="reference torch EDM .ckpt (converted on the fly)")
     parser.add_argument("--autoencoder-checkpoint", "--autoencoder_checkpoint", type=str,
@@ -127,6 +97,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=25)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true",
+                        help="match a --tiny-trained run's model widths")
     args = parser.parse_args(argv)
 
     common.setup_logging()
@@ -134,28 +106,26 @@ def main(argv=None):
 
     dtype = common.parse_dtype(args.dtype)
     cond_raw = read_conditioning(args)
+    if bool(args.edm_checkpoint) != bool(args.autoencoder_checkpoint):
+        raise SystemExit("either both or none of the torch checkpoints must be provided")
+
+    bundle = common.build_inference(
+        args.config, args.workdir or ".", dtype, num_steps=args.num_steps, tiny=args.tiny,
+        run_name=args.name, ae_name=args.ae_name,
+        edm_checkpoint=args.edm_checkpoint,
+        autoencoder_checkpoint=args.autoencoder_checkpoint,
+    )
+    config, representation = bundle.config, bundle.representation
+    t_out = bundle.t
+
     if args.stats_from_dataset:
-        stats = common.dataset_feature_stats(configs.LatentSpectrogramConfig(
-            workdir=args.workdir or "."))
+        stats = common.dataset_feature_stats(config)
         cond = ((cond_raw - stats[:, 0]) / stats[:, 1]).astype(np.float32)
     else:
         cond = normalize(cond_raw).astype(np.float32)
 
-    config, ae, ae_vars, unet, params = load_models(args, dtype)
-    t_out = config.t or 4064
-    representation = config.make_representation()
-
-    from tqdne_tpu.train.steps import make_edm_steps
-
-    _, _, sample_fn = make_edm_steps(unet, tx=None, autoencoder=ae,
-                                     num_sampling_steps=args.num_steps)
-
     bs = args.batch_size
-
-    @jax.jit
-    def run(params, ae_vars, key, cond_b):
-        return sample_fn(params, key, (bs, 32, 32, config.latent_channels), cond=cond_b,
-                         ae_vars=ae_vars)
+    run = bundle.jit_sample(bs)
 
     n = len(cond)
     outfile = Path(args.outfile)
@@ -170,7 +140,7 @@ def main(argv=None):
             if pad:
                 batch_cond = np.concatenate([batch_cond, np.zeros((pad, 5), np.float32)])
             key = jax.random.fold_in(jax.random.key(args.seed), start)
-            signal = np.asarray(run(params, ae_vars, key, jnp.asarray(batch_cond)), np.float32)
+            signal = np.asarray(run(key, jnp.asarray(batch_cond)), np.float32)
             signal = np.moveaxis(signal, -1, 1)[: bs - pad if pad else bs]
             waveforms[start : start + len(signal)] = representation.invert_representation(signal)[
                 ..., :t_out

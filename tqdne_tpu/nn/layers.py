@@ -46,6 +46,50 @@ class _Affine(nn.Module):
         return scale, bias
 
 
+def group_norm_lanes(x, scale, bias, groups: int, eps: float = 1e-5,
+                     silu: bool = False):
+    """fp32 GroupNorm statistics computed channel-wise first.
+
+    flax's GroupNorm reshapes (..., C) -> (..., G, C/G) and reduces over
+    (spatial, C/G); on TPU the channel axis rides the 128-wide lane
+    dimension, so that reduction becomes a cross-lane segment reduction
+    (the profiled convert_reduce_fusion wall in the flagship sampler,
+    ~5x over the HBM roofline).  Here statistics are taken over the
+    spatial axes only — channels stay on lanes, the reduce is a clean
+    sublane accumulation — and the tiny (B, C) -> (B, G) combine follows.
+    Same math as torch GroupNorm / flax use_fast_variance (E[x^2]-E[x]^2,
+    eps inside rsqrt), fp32 throughout, output cast back to input dtype.
+    """
+    b, c = x.shape[0], x.shape[-1]
+    gsize = c // groups
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n = float(gsize * _prod(x.shape[1:-1]))
+
+    xf = x.astype(jnp.float32)
+    sum_c = jnp.sum(xf, axis=spatial_axes)  # (B, C): lanes preserved
+    sumsq_c = jnp.sum(xf * xf, axis=spatial_axes)  # (B, C)
+    sum_g = sum_c.reshape(b, groups, gsize).sum(-1)  # (B, G): tiny
+    sumsq_g = sumsq_c.reshape(b, groups, gsize).sum(-1)
+    mean_g = sum_g / n
+    rstd_g = jax.lax.rsqrt(jnp.maximum(sumsq_g / n - mean_g * mean_g, 0.0) + eps)
+
+    # per-channel affine folded with the group stats: out = x*a + b
+    a_c = jnp.repeat(rstd_g, gsize, axis=-1) * scale.astype(jnp.float32)  # (B, C)
+    b_c = bias.astype(jnp.float32) - jnp.repeat(mean_g * rstd_g, gsize, axis=-1) * scale.astype(jnp.float32)
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = xf * a_c.reshape(bshape) + b_c.reshape(bshape)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
+
+
+def _prod(xs):
+    p = 1
+    for v in xs:
+        p *= v
+    return p
+
+
 class Norm32(nn.Module):
     """GroupNorm(32) computed in float32, output cast back to input dtype.
 
@@ -53,16 +97,25 @@ class Norm32(nn.Module):
     count; the reference never instantiates that case (all normed layers
     have >= 64 channels), so parity is unaffected.
 
-    ``silu=True`` appends the activation; with ``use_pallas=True`` the
-    whole GroupNorm+affine+SiLU runs as one fused Pallas kernel
-    (tqdne_tpu.ops.group_norm) — parameter paths stay identical
-    (<scope>/GroupNorm_0/{scale,bias}), so checkpoints are interchangeable
-    between the paths.
+    ``silu=True`` appends the activation.  Three implementations, all with
+    identical parameter paths (<scope>/GroupNorm_0/{scale,bias}) so
+    checkpoints are interchangeable:
+    - "lanes" (default): spatial-first statistics that keep channels on
+      the TPU lane dimension (group_norm_lanes above);
+    - "flax": plain flax GroupNorm (the round-1 path, kept for A/B);
+    - ``use_pallas=True``: fused Pallas kernel (tqdne_tpu.ops.group_norm)
+      — measured slower end-to-end (breaks XLA conv fusion), kept as a
+      counter-example.
     """
 
+    # "flax" measured 196 wf/s vs "lanes" 181 on the flagship sampler (v5e,
+    # batch 64, clean A/B) — XLA's reshape-reduce lowering beats the
+    # spatial-first two-reduction formulation; lanes kept as the measured
+    # counter-example (BENCH_NOTES.md round 2).
     groups: int = 32
     silu: bool = False
     use_pallas: bool = False
+    impl: str = "flax"
 
     @nn.compact
     def __call__(self, x):
@@ -80,6 +133,20 @@ class Norm32(nn.Module):
                 x, scale, bias, groups, 1e-5, self.silu,
                 jax.default_backend() == "cpu",
             )
+        import os
+
+        impl = os.environ.get("TQDNE_GN_IMPL", self.impl)
+        if impl == "lanes":
+            scale, bias = _Affine(x.shape[-1], name="GroupNorm_0")()
+            return group_norm_lanes(x, scale, bias, groups, 1e-5, self.silu)
+        if impl == "skip":  # timing ceiling probe ONLY: affine, no normalization
+            scale, bias = _Affine(x.shape[-1], name="GroupNorm_0")()
+            out = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+            return nn.silu(out) if self.silu else out
+        if impl == "bf16":  # quality-gated fast mode: statistics in bf16
+            out = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=x.dtype,
+                               param_dtype=jnp.float32)(x)
+            return nn.silu(out) if self.silu else out
         # no explicit pre-cast: GroupNorm(dtype=f32) promotes internally
         # (identical math; lets XLA fuse the convert into the reductions —
         # measured +3% on the flagship sampler)
