@@ -140,7 +140,94 @@ def test_sa_distance_table(rng):
     ns = rng.standard_normal((n, t))
     ew = rng.standard_normal((n, t))
     rhyp = np.array([20.0, 60.0, 120.0, 180.0])
-    out = seismo.sa_distance(ns, ew, rhyp, 0.01, periods=(0.3, 1.0), mag=6.0)
+    out = seismo.sa_distance(
+        ns, ew, rhyp, 0.01, periods=(0.3, 1.0), mag=6.0,
+        obs_ns=ns * 1.1, obs_ew=ew * 1.1, obs_rhyp=rhyp, n_bins=10,
+    )
     assert out["sa"].shape == (n, 2)
     assert (out["sa"] > 0).all()
-    assert (out["gmm_pga"] > 0).all()
+    # observed-vs-generated comparison at the SAME intensity measure
+    assert out["obs_sa"].shape == (n, 2)
+    assert out["sa_median"].shape == (9, 2)
+    finite = np.isfinite(out["sa_median"]) & np.isfinite(out["obs_sa_median"])
+    assert finite.any()
+    np.testing.assert_allclose(
+        out["obs_sa_median"][finite], 1.1 * out["sa_median"][finite], rtol=1e-6
+    )
+    # SA-period GMM curves are never silently substituted with PGA: the
+    # built-in models don't cover SA(T), so they must be reported skipped
+    assert "gmm_pga" not in out
+    assert set(out["gmm_skipped"]) == {"Kanno2006Shallow", "BooreEtAl2014"}
+    assert out["gmm_sa"] == {}
+
+
+def test_boore_etal_2014_hand_computed():
+    """Pin the BSSA14 median against independent hand arithmetic
+    (paper eqs. 2-3): M=6.0 strike-slip, Rjb=30 km, rock vs30=760
+    (both site terms vanish at Vref)."""
+    r = np.sqrt(30.0**2 + 4.5**2)
+    # M=6.0 > Mh=5.5: F_E = e1 + e6*(M-Mh)
+    fe = 0.4856 + (-0.1662) * 0.5
+    # F_P = (c1 + c2*(6-4.5))*ln(R/1) + c3*(R-1)
+    fp = (-1.134 + 0.1917 * 1.5) * np.log(r) + (-0.00809) * (r - 1.0)
+    got = seismo.boore_etal_2014("PGA", 6.0, np.array([30.0]), vs30=760.0, rake=0.0)
+    np.testing.assert_allclose(got, np.exp(fe + fp), rtol=1e-12)
+    assert 0.03 < got[0] < 0.3  # plausible rock median for M6 at 30 km
+    # M=5.0 <= Mh: F_E = e1 + e4*(M-Mh) + e5*(M-Mh)^2
+    fe5 = 0.4856 + 1.431 * (-0.5) + 0.05053 * 0.25
+    fp5 = (-1.134 + 0.1917 * 0.5) * np.log(r) + (-0.00809) * (r - 1.0)
+    got5 = seismo.boore_etal_2014("PGA", 5.0, np.array([30.0]), vs30=760.0, rake=0.0)
+    np.testing.assert_allclose(got5, np.exp(fe5 + fp5), rtol=1e-12)
+
+
+def test_boore_etal_2014_behavior():
+    d = np.array([5.0, 20.0, 60.0, 150.0])
+    pga_m5 = seismo.boore_etal_2014("PGA", 5.0, d, rake=0.0)
+    pga_m7 = seismo.boore_etal_2014("PGA", 7.0, d, rake=0.0)
+    assert (np.diff(pga_m5) < 0).all()  # decays with distance
+    assert (pga_m7 > pga_m5).all()  # grows with magnitude
+    # soft-site linear amplification (at weak motions): vs30 360 > 760
+    far = np.array([150.0])
+    assert seismo.boore_etal_2014("PGA", 5.0, far, vs30=360.0) > seismo.boore_etal_2014(
+        "PGA", 5.0, far, vs30=760.0
+    )
+    # nonlinear site term damps amplification at strong shaking:
+    # soft/rock ratio near-source < soft/rock ratio far-field
+    near = np.array([2.0])
+    ratio_near = (seismo.boore_etal_2014("PGA", 7.0, near, vs30=200.0)
+                  / seismo.boore_etal_2014("PGA", 7.0, near, vs30=760.0))
+    ratio_far = (seismo.boore_etal_2014("PGA", 7.0, far, vs30=200.0)
+                 / seismo.boore_etal_2014("PGA", 7.0, far, vs30=760.0))
+    assert ratio_near < ratio_far
+    # mechanism: reverse > normal at the same scenario (e3 > e2 for PGA)
+    assert seismo.boore_etal_2014("PGA", 6.0, far, rake=90.0) > seismo.boore_etal_2014(
+        "PGA", 6.0, far, rake=-90.0
+    )
+    # PGV row works and is positive
+    assert (seismo.boore_etal_2014("PGV", 6.0, d) > 0).all()
+    # SA periods are not silently faked
+    with pytest.raises(NotImplementedError):
+        seismo.boore_etal_2014("SA(1.0)", 6.0, d)
+
+
+def test_gmm_curve_dispatch():
+    d = np.array([10.0, 50.0, 100.0])
+    kanno = seismo.gmm_curve("PGA", 6.0, d, 400.0, model="Kanno2006Shallow")
+    boore = seismo.gmm_curve("PGA", 6.0, d, 400.0, model="BooreEtAl2014", rake=0.0)
+    # both in cm/s^2, same order of magnitude for a common scenario
+    assert (kanno > 0).all() and (boore > 0).all()
+    assert (0.1 < kanno / boore).all() and (kanno / boore < 10).all()
+    # the reference's Kanno geometric-mean convention correction
+    corr = seismo.gmm_curve("PGA", 6.0, d, 400.0, model="Kanno2006Shallow",
+                            mean_convention_correction=True)
+    np.testing.assert_allclose(corr, kanno * 10**-0.07)
+    with pytest.raises(NotImplementedError):
+        seismo.gmm_curve("PGA", 6.0, d, model="NotAModel")
+
+
+def test_epri_rjb_adjustment():
+    repi = np.array([1.0, 30.0, 100.0])
+    rjb = seismo.epri_epicentral_to_rjb(repi, 6.0)
+    assert (rjb <= repi).all()  # finite-fault shrinkage
+    assert (rjb >= 0).all()
+    assert rjb[2] / repi[2] > rjb[0] / repi[0]  # adjustment fades with distance

@@ -50,14 +50,20 @@ def residual_report(
             "gen_peak_median": float(np.median(gen)),
         }
         if magnitude is not None and vs30 is not None:
-            try:
-                gmm = seismo.gmm_curve(
-                    label, float(np.mean(magnitude)), binned["bin_centers"],
-                    float(np.mean(vs30)),
-                )
-                report[label]["gmm_kanno2006_median"] = np.asarray(gmm).tolist()
-            except NotImplementedError:
-                pass
+            mbar, vbar = float(np.mean(magnitude)), float(np.mean(vs30))
+            centers = binned["bin_centers"]
+            # Kanno2006Shallow on hypocentral distance with the reference's
+            # geometric-mean convention correction (custom_GMM.ipynb cells
+            # 11-12), BooreEtAl2014 on EPRI-adjusted Joyner-Boore distance
+            # (custom_GMM.ipynb cell 1)
+            gmm = seismo.gmm_curve(label, mbar, centers, vbar,
+                                   model="Kanno2006Shallow",
+                                   mean_convention_correction=True)
+            report[label]["gmm_kanno2006_median"] = np.asarray(gmm).tolist()
+            rjb = seismo.epri_epicentral_to_rjb(centers, mbar)
+            gmm_ba = seismo.gmm_curve(label, mbar, rjb, vbar,
+                                      model="BooreEtAl2014", rake=0.0)
+            report[label]["gmm_boore2014_median"] = np.asarray(gmm_ba).tolist()
     return report
 
 

@@ -227,21 +227,77 @@ def sa_rotd(
     return np.percentile(sa, percentile, axis=0)
 
 
+def _distance_binned_percentiles(values, dist, edges):
+    """Distance-binned median/16th/84th percentiles of (N, P) values;
+    the SA_distance.py binning loop (SA_distance.py:72-90), vectorized
+    over periods.  Returns (centers, p50, p16, p84), NaN for empty bins."""
+    values = np.asarray(values, np.float64)
+    dist = np.asarray(dist, np.float64)
+    nb = len(edges) - 1
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    p50 = np.full((nb, values.shape[-1]), np.nan)
+    p16 = np.full_like(p50, np.nan)
+    p84 = np.full_like(p50, np.nan)
+    for i in range(nb):
+        m = (dist > edges[i]) & (dist <= edges[i + 1])
+        if m.any():
+            p50[i] = np.percentile(values[m], 50, axis=0)
+            p16[i] = np.percentile(values[m], 16, axis=0)
+            p84[i] = np.percentile(values[m], 84, axis=0)
+    return centers, p50, p16, p84
+
+
 def sa_distance(
     wf_ns: np.ndarray, wf_ew: np.ndarray, rhyp: np.ndarray, dt: float,
-    periods=(0.1, 0.3, 1.0, 2.0), *, mag: float | None = None,
-    vs30: float = 400.0, percentile: float = 50.0,
+    periods=(0.1, 0.3, 1.0, 2.0), *, obs_ns: np.ndarray | None = None,
+    obs_ew: np.ndarray | None = None, obs_rhyp: np.ndarray | None = None,
+    mag: float | None = None, vs30: float = 400.0, percentile: float = 50.0,
+    n_bins: int = 100, bin_range: tuple[float, float] = (0.1, 190.0),
+    gmm_models: tuple[str, ...] = ("Kanno2006Shallow", "BooreEtAl2014"),
 ) -> dict:
-    """SA(T) vs hypocentral distance table (+ Kanno2006 GMM comparison when
-    a magnitude is given) — the SA_distance.py evaluation."""
-    sa = sa_rotd(wf_ns, wf_ew, dt, list(periods), percentile=percentile)
-    out = {"periods": list(periods), "rhyp": np.asarray(rhyp), "sa": sa}
+    """SA(T) vs hypocentral distance — the SA_distance.py evaluation
+    (scripts/seismo_evaluations/SA_distance.py:36-90).
+
+    Computes RotD{percentile} SA(T) for the generated horizontal pairs,
+    distance-binned medians with 16/84 percentiles, the same for an
+    observed set when given (the reference compares generated vs observed
+    SA with matching vs30/magnitude masks), and — when ``mag`` is given —
+    GMM median SA(T) curves for each model in ``gmm_models`` at the SAME
+    period (the reference overlays BooreEtAl2014 + Kanno2006Shallow
+    SA(0.1/0.3/1.0/2.0) curves).  Models whose built-in implementation
+    does not cover an SA period are recorded under ``gmm_skipped``
+    instead of silently substituting another intensity measure.
+    """
+    periods = list(periods)
+    sa = sa_rotd(wf_ns, wf_ew, dt, periods, percentile=percentile)
+    out = {"periods": periods, "rhyp": np.asarray(rhyp), "sa": sa}
+    edges = np.linspace(bin_range[0], bin_range[1], n_bins)
+    out["bin_centers"], out["sa_median"], out["sa_p16"], out["sa_p84"] = (
+        _distance_binned_percentiles(sa, rhyp, edges)
+    )
+    if obs_ns is not None and obs_ew is not None and obs_rhyp is not None:
+        sa_obs = sa_rotd(obs_ns, obs_ew, dt, periods, percentile=percentile)
+        out["obs_sa"] = sa_obs
+        out["obs_rhyp"] = np.asarray(obs_rhyp)
+        _, out["obs_sa_median"], out["obs_sa_p16"], out["obs_sa_p84"] = (
+            _distance_binned_percentiles(sa_obs, obs_rhyp, edges)
+        )
     if mag is not None:
-        # distance grid for the GMM curve (PGA used as the reference IMT
-        # available in the built-in Kanno2006Shallow implementation)
         grid = np.linspace(max(1.0, np.min(rhyp)), np.max(rhyp), 50)
         out["gmm_distances"] = grid
-        out["gmm_pga"] = kanno2006_shallow("PGA", mag, grid, vs30)
+        out["gmm_sa"], out["gmm_skipped"] = {}, {}
+        for model in gmm_models:
+            curves, skipped = [], None
+            for T in periods:
+                try:
+                    curves.append(gmm_curve(f"SA({T})", mag, grid, vs30, model=model))
+                except NotImplementedError as e:
+                    skipped = str(e)
+                    break
+            if skipped is None:
+                out["gmm_sa"][model] = np.stack(curves, axis=-1)  # (50, P)
+            else:
+                out["gmm_skipped"][model] = skipped
     return out
 
 
@@ -343,6 +399,10 @@ _KANNO2006_SHALLOW = {
 def kanno2006_shallow(imt: str, mag: float, rrup, vs30: float = 400.0) -> np.ndarray:
     """Median Kanno et al. (2006) shallow prediction for PGA [cm/s^2] or
     PGV [cm/s] at rupture distances ``rrup`` [km]."""
+    if imt.upper() not in _KANNO2006_SHALLOW:
+        raise NotImplementedError(
+            f"Kanno2006Shallow built-in supports PGA/PGV; {imt} requires openquake"
+        )
     cf = _KANNO2006_SHALLOW[imt.upper()]
     rrup = np.asarray(rrup, np.float64)
     log_pre = (
@@ -355,20 +415,168 @@ def kanno2006_shallow(imt: str, mag: float, rrup, vs30: float = 400.0) -> np.nda
     return 10 ** (log_pre + site)
 
 
-def gmm_curve(imt: str, mag: float, distances, vs30: float = 400.0, model: str = "Kanno2006Shallow"):
+# Boore, Stewart, Seyhan & Atkinson (2014), "NGA-West2 Equations for
+# Predicting PGA, PGV, and 5% Damped PSA for Shallow Crustal Earthquakes",
+# Earthquake Spectra 30(3):1057-1085 — the BooreEtAl2014 GMM the reference
+# calls through OpenQuake (experiments/example_GMM.py:16-131,
+# scripts/seismo_evaluations/custom_GMM.ipynb).  Median (global region),
+# full functional form: mechanism-dependent event term, geometric +
+# anelastic path term, and linear + nonlinear site response with the
+# rock-PGA recursion.  Coefficient rows below are the published PGA and
+# PGV values (paper Tables; identical to OpenQuake's boore_2014 table).
+# The reference's residual workflows use exactly these two IMTs
+# (custom_GMM.ipynb cells 8-9); SA-period rows require transcribing the
+# electronic supplement, unavailable in this offline environment — SA
+# requests raise NotImplementedError rather than returning wrong numbers.
+_BSSA14 = {
+    "PGA": dict(e0=0.4473, e1=0.4856, e2=0.2459, e3=0.4539, e4=1.431, e5=0.05053,
+                e6=-0.1662, Mh=5.5, c1=-1.134, c2=0.1917, c3=-0.00809, h=4.5,
+                c=-0.600, Vc=1500.0, f4=-0.150, f5=-0.00701),
+    "PGV": dict(e0=5.037, e1=5.078, e2=4.849, e3=5.033, e4=1.073, e5=-0.1536,
+                e6=0.2252, Mh=6.2, c1=-1.243, c2=0.1489, c3=-0.00344, h=5.3,
+                c=-0.840, Vc=1300.0, f4=-0.100, f5=-0.00844),
+}
+_BSSA14_MREF, _BSSA14_RREF, _BSSA14_VREF = 4.5, 1.0, 760.0
+_BSSA14_F1, _BSSA14_F3 = 0.0, 0.1  # nonlinear-site constants (g)
+
+
+def _bssa14_mech(rake: float | None) -> str:
+    """Rake angle -> mechanism dummy (paper §'Mechanism'; OpenQuake's
+    convention): SS |rake|<30 or |rake|>150, NS -150..-30, RS 30..150,
+    unspecified when rake is None."""
+    if rake is None:
+        return "e0"
+    if abs(rake) < 30 or abs(rake) > 150:
+        return "e1"  # strike-slip
+    if -150 <= rake <= -30:
+        return "e2"  # normal
+    return "e3"  # reverse
+
+
+def _bssa14_event_path(cf: dict, mag: float, rjb, mech: str):
+    """F_E + F_P (paper eqs. 2-3), no site term."""
+    rjb = np.asarray(rjb, np.float64)
+    dm = mag - cf["Mh"]
+    if mag <= cf["Mh"]:
+        fe = cf[mech] + cf["e4"] * dm + cf["e5"] * dm * dm
+    else:
+        fe = cf[mech] + cf["e6"] * dm
+    r = np.sqrt(rjb * rjb + cf["h"] * cf["h"])
+    fp = (cf["c1"] + cf["c2"] * (mag - _BSSA14_MREF)) * np.log(r / _BSSA14_RREF) + cf[
+        "c3"
+    ] * (r - _BSSA14_RREF)
+    return fe + fp
+
+
+def boore_etal_2014(
+    imt: str, mag: float, rjb, vs30: float = 760.0, rake: float | None = None
+) -> np.ndarray:
+    """Median BooreEtAl2014 prediction: PGA [g] or PGV [cm/s] at
+    Joyner-Boore distances ``rjb`` [km].
+
+    Site response (paper eqs. 4-8): linear ln F_lin = c*ln(min(V,Vc)/760)
+    and nonlinear ln F_nl = f1 + f2*ln((PGA_r + f3)/f3), where PGA_r is
+    the median rock (vs30=760) PGA for the same scenario and
+    f2 = f4*(exp(f5*(min(V,760)-360)) - exp(f5*400)).
+    """
+    key = imt.upper()
+    if key not in _BSSA14:
+        raise NotImplementedError(
+            f"BooreEtAl2014 built-in supports PGA/PGV; {imt} requires openquake"
+        )
+    cf = _BSSA14[key]
+    mech = _bssa14_mech(rake)
+    ln_y = _bssa14_event_path(cf, mag, rjb, mech)
+
+    # rock PGA for the nonlinear site term (site terms vanish at vs30=760)
+    pga_r = np.exp(_bssa14_event_path(_BSSA14["PGA"], mag, rjb, mech))
+    ln_flin = cf["c"] * np.log(min(vs30, cf["Vc"]) / _BSSA14_VREF)
+    f2 = cf["f4"] * (
+        np.exp(cf["f5"] * (min(vs30, 760.0) - 360.0)) - np.exp(cf["f5"] * 400.0)
+    )
+    ln_fnl = _BSSA14_F1 + f2 * np.log((pga_r + _BSSA14_F3) / _BSSA14_F3)
+    return np.exp(ln_y + ln_flin + ln_fnl)
+
+
+def epri_epicentral_to_rjb(repi, mag: float, *, C1=-2.118, C2=0.17, C3=-0.14,
+                           C4=1.19, C5=0.09):
+    """EPRI-2003 empirical epicentral -> Joyner-Boore distance adjustment,
+    as used by the reference before BooreEtAl2014 lookups
+    (custom_GMM.ipynb cell 1, epri_epicentral_to_rjb)."""
+    repi = np.asarray(repi, np.float64)
+    h = np.exp(C4 + C5 * (mag - 6.0))
+    rprime = np.sqrt(repi**2 + h**2)
+    return repi * (1 - 1 / np.cosh(C1 + C2 * (mag - 6.0) + C3 * np.log(rprime)))
+
+
+# The reference multiplies OpenQuake Kanno2006 medians by 10^-0.07 (PGA)
+# and 10^-0.11 (PGV) — "correcion from how kanno calculate the average
+# mean" (custom_GMM.ipynb cells 11-12): Kanno regressed vectorial peaks,
+# the workflow compares geometric means.
+KANNO_MEAN_CONVENTION_LOG10 = {"PGA": -0.07, "PGV": -0.11}
+
+
+def gmm_curve(
+    imt: str, mag: float, distances, vs30: float = 400.0,
+    model: str = "Kanno2006Shallow", *, rake: float | None = None,
+    mean_convention_correction: bool = False,
+):
     """Ground-motion prediction curve for residual plots.
 
-    Uses OpenQuake when available (exact reference parity with
-    example_GMM.py); otherwise the built-in Kanno2006Shallow
-    implementation.
+    Distances are hypocentral/rupture for Kanno2006 and Joyner-Boore for
+    BooreEtAl2014, matching the reference's context construction
+    (custom_GMM.ipynb build_*_contexts).  Units: PGA in cm/s^2, PGV in
+    cm/s for both models.  Uses OpenQuake when importable (exact
+    reference parity); otherwise the built-in implementations.
     """
-    try:  # exact reference path
-        from openquake.hazardlib.gsim import get_available_gsims  # noqa: F401
-
-        raise ImportError("use builtin until openquake wiring is validated")
+    key = imt.upper()
+    try:  # exact reference path when the dependency exists
+        curve = _gmm_curve_openquake(key, mag, distances, vs30, model, rake)
     except ImportError:
-        if model != "Kanno2006Shallow":
+        if model == "Kanno2006Shallow":
+            curve = kanno2006_shallow(key, mag, distances, vs30)
+        elif model == "BooreEtAl2014":
+            curve = boore_etal_2014(key, mag, distances, vs30, rake)
+            if key == "PGA":
+                curve = curve * 980.665  # g -> cm/s^2
+        else:
             raise NotImplementedError(
-                f"{model} requires openquake (not available); use Kanno2006Shallow"
+                f"unknown GMM {model!r}; built-ins: Kanno2006Shallow, BooreEtAl2014"
             ) from None
-        return kanno2006_shallow(imt, mag, distances, vs30)
+    if mean_convention_correction and model.startswith("Kanno") and key in (
+        KANNO_MEAN_CONVENTION_LOG10
+    ):
+        curve = curve * 10.0 ** KANNO_MEAN_CONVENTION_LOG10[key]
+    return curve
+
+
+def _gmm_curve_openquake(imt, mag, distances, vs30, model, rake):
+    """Median curve via openquake's ContextMaker-free point API."""
+    import numpy as _np
+    from openquake.hazardlib import const as oq_const
+    from openquake.hazardlib import contexts as oq_ctx
+    from openquake.hazardlib import imt as oq_imt
+    from openquake.hazardlib.valid import gsim as oq_gsim
+
+    gmpe = oq_gsim(model)
+    distances = _np.asarray(distances, _np.float64)
+    ctx = oq_ctx.RuptureContext()
+    ctx.mag = mag
+    ctx.rake = rake if rake is not None else 0.0
+    ctx.hypo_depth = 15.0
+    ctx.sids = _np.arange(len(distances))
+    ctx.vs30 = _np.full(len(distances), vs30)
+    ctx.vs30measured = _np.ones(len(distances), bool)
+    ctx.rjb = distances
+    ctx.rrup = distances
+    ctx.rhypo = distances
+    im = oq_imt.from_string(imt if imt.startswith("SA") else imt.upper())
+    mean = _np.zeros((1, len(distances)))
+    sig = tau = phi = _np.zeros_like(mean)
+    gmpe.compute(ctx, [im], mean, sig, tau, phi)
+    out = _np.exp(mean[0])
+    if imt.upper() == "PGA" or imt.startswith("SA"):
+        out = out * 980.665  # g -> cm/s^2
+    elif imt.upper() == "PGV":
+        pass  # already cm/s
+    return out
