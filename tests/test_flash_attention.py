@@ -49,6 +49,27 @@ def test_gradients_match_einsum(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("l,blk,causal", [(256, 128, False), (200, 128, False),
+                                          (256, 64, True), (100, 64, False)])
+def test_gradients_multiblock(rng, l, blk, causal):
+    """Pallas backward across tile boundaries, ragged lengths (padding
+    masks), and the causal mask."""
+    q, k, v = _qkv(rng, b=1, l=l, h=2, d=32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, causal, blk, blk, True)
+        return jnp.sum(out * jnp.cos(out))  # non-symmetric cotangent
+
+    def loss_ref(q, k, v):
+        out = qkv_attention(q, k, v, causal=causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
 def test_attention_block_pallas_flag(rng):
     """AttentionBlock(use_pallas=True) equals the einsum path."""
     from tqdne_tpu.nn.attention import AttentionBlock

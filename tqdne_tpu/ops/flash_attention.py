@@ -8,10 +8,13 @@ one VMEM-resident pass per query tile.
 
 Numerics match tqdne_tpu.nn.attention.qkv_attention exactly: the
 sqrt(sqrt(d)) double scaling on q and k, softmax accumulated in float32.
-The backward pass recomputes attention via the einsum reference
-implementation under jax.custom_vjp (correct gradients; the fused
-forward is what the sampling hot loop needs — training-time attention is
-a tiny fraction of the UNet FLOPs at reference sequence lengths).
+
+The backward pass is a tiled Pallas kernel pair (FlashAttention-2
+recipe): the forward saves the per-row log-sum-exp, the backward
+recomputes score tiles in VMEM and accumulates dQ (k-inner grid) and
+dK/dV (q-inner grid) without ever materializing the (L, L) matrix —
+so both training AND inference are O(L) memory (round 1's einsum-
+recompute VJP was O(L^2), which OOMed long-context training).
 
 Layout: (B, L, H, D) channels-last, D <= 128 (one MXU lane tile); L is
 padded to the query/key block size with masked keys.
@@ -30,15 +33,19 @@ NEG_INF = -1e30
 
 
 def _attention_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, length: int, causal: bool
+    q_ref, k_ref, v_ref, o_ref, *rest, length: int, causal: bool, with_lse: bool = False
 ):
     """3-D grid (batch*head, q-block, k-block) flash attention.
 
     The k-block axis is the innermost (sequential) grid dimension, so
     Mosaic double-buffers the K/V tile DMAs against the MXU work; the
     online-softmax state (running max, denominator, accumulator) lives in
-    VMEM scratch across k iterations of the same q block.
+    VMEM scratch across k iterations of the same q block.  With
+    ``with_lse`` the per-row log-sum-exp is written as a second output
+    (consumed by the Pallas backward).
     """
+    lse_ref = rest[0] if with_lse else None
+    acc_ref, m_ref, l_ref = rest[-3:]
     block_q, d = q_ref.shape[-2], q_ref.shape[-1]
     block_k = k_ref.shape[-2]
     qi, ki = pl.program_id(1), pl.program_id(2)
@@ -81,9 +88,23 @@ def _attention_kernel(
     @pl.when(ki == num_k - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-30)[:, None]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = (m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-30)))[:, None]
 
 
-def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpret: bool):
+def _pad_blocks(q, k, v, length, block_q, block_k):
+    block_q = min(block_q, max(length, 8))
+    block_k = min(block_k, max(length, 128))
+    pad_q = (-length) % block_q
+    pad_k = (-length) % block_k
+    qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    return qp, kp, vp, block_q, block_k
+
+
+def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpret: bool,
+                   return_lse: bool = False):
     b, length, h, d = q.shape
     assert d <= 128, f"head_dim {d} > 128 not supported (lane tile)"
 
@@ -91,28 +112,27 @@ def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpr
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, length, d)
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-
-    block_q = min(block_q, max(length, 8))
-    block_k = min(block_k, max(length, 128))
-    pad_q = (-length) % block_q
-    pad_k = (-length) % block_k
-    qp = jnp.pad(qb, ((0, 0), (0, pad_q), (0, 0)))
-    kp = jnp.pad(kb, ((0, 0), (0, pad_k), (0, 0)))
-    vp = jnp.pad(vb, ((0, 0), (0, pad_k), (0, 0)))
-    lq, lk = length + pad_q, length + pad_k
+    qp, kp, vp, block_q, block_k = _pad_blocks(to_bh(q), to_bh(k), to_bh(v), length,
+                                               block_q, block_k)
+    lq, lk = qp.shape[1], kp.shape[1]
 
     grid = (b * h, lq // block_q, lk // block_k)
-    out = pl.pallas_call(
-        functools.partial(_attention_kernel, length=length, causal=causal),
+    out_shapes = [jax.ShapeDtypeStruct((b * h, lq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, lq, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, block_q, 1), lambda bh, i, j: (bh, i, 0)))
+    res = pl.pallas_call(
+        functools.partial(_attention_kernel, length=length, causal=causal,
+                          with_lse=return_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shapes if return_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -121,8 +141,171 @@ def _flash_forward(q, k, v, *, causal: bool, block_q: int, block_k: int, interpr
         interpret=interpret,
     )(qp, kp, vp)
 
-    out = out[:, :length].reshape(b, h, length, d).transpose(0, 2, 1, 3)
+    out_p, lse = (res[0], res[1]) if return_lse else (res, None)
+    out = out_p[:, :length].reshape(b, h, length, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, out_p, lse  # out_p/lse stay in (B*H, padded L) layout
     return out
+
+
+def _bwd_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dk_ref, dv_ref,
+                     dk_acc, dv_acc, *, length: int, causal: bool):
+    """Grid (B*H, k-block, q-block[inner]): accumulate dK/dV for one key
+    tile over all query tiles.  Scores are computed TRANSPOSED
+    (block_k, block_q) so the per-row lse/delta broadcast along lanes."""
+    block_q, d = q_ref.shape[-2], q_ref.shape[-1]
+    block_k = k_ref.shape[-2]
+    kj, qi = pl.program_id(1), pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    scale = d**-0.25
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d), pre-scaled q'
+    k = k_ref[0].astype(jnp.float32) * scale  # (bk, d), pre-scaled k'
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)  # (bq, d)
+    lse = lse_ref[0, :, 0]  # (bq,)
+    delta = delta_ref[0, :, 0]  # (bq,)
+
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, bq) = S^T
+    k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
+    mask = (k_pos < length) & (q_pos < length)
+    if causal:
+        mask &= k_pos <= q_pos
+    p_t = jnp.where(mask, jnp.exp(s_t - lse[None, :]), 0.0)  # (bk, bq) = P^T
+
+    dv_acc[:] += jax.lax.dot_general(
+        p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, bq) = (dO V^T)^T
+    ds_t = p_t * (dp_t - delta[None, :])
+    dk_acc[:] += jax.lax.dot_general(
+        ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # dK' = dS^T Q'
+
+    @pl.when(qi == num_q - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)  # dK = scale * dK'
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref, dq_acc,
+                   *, length: int, causal: bool):
+    """Grid (B*H, q-block, k-block[inner]): accumulate dQ for one query
+    tile over all key tiles (same transposed-score trick)."""
+    block_q, d = q_ref.shape[-2], q_ref.shape[-1]
+    block_k = k_ref.shape[-2]
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    scale = d**-0.25
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32) * scale
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]
+    delta = delta_ref[0, :, 0]
+
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, bq)
+    k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
+    mask = (k_pos < length) & (q_pos < length)
+    if causal:
+        mask &= k_pos <= q_pos
+    p_t = jnp.where(mask, jnp.exp(s_t - lse[None, :]), 0.0)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_t = p_t * (dp_t - delta[None, :])  # (bk, bq) = dS^T
+    # dQ' = dS K' = (dS^T)^T K': contract the key axis (sublanes of both)
+    dq_acc[:] += jax.lax.dot_general(
+        ds_t, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, d)
+
+    @pl.when(kj == num_k - 1)
+    def _finalize():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, out_p, lse, g, *, causal: bool, block_q: int, block_k: int,
+                    interpret: bool):
+    b, length, h, d = q.shape
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, length, d)
+
+    qp, kp, vp, block_q, block_k = _pad_blocks(to_bh(q), to_bh(k), to_bh(v), length,
+                                               block_q, block_k)
+    lq, lk = qp.shape[1], kp.shape[1]
+    gp = jnp.pad(to_bh(g), ((0, 0), (0, lq - length), (0, 0)))
+    # delta_i = sum_d dO_id * O_id, on the padded (B*H, Lq) layout
+    delta = jnp.sum(gp.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1)[..., None]
+
+    nq, nk = lq // block_q, lk // block_k
+    q_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, a, b_: (bh, a, 0)),  # noqa: ARG005
+        pl.BlockSpec((1, block_q, d), lambda bh, a, b_: (bh, a, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, a, b_: (bh, a, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, a, b_: (bh, a, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, b_, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, b_, 0)),
+    ]
+    # dK/dV: q is the INNER grid axis -> swap the roles of (a, b_)
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, a, b_: (bh, b_, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, a, b_: (bh, b_, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, a, b_: (bh, b_, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda bh, a, b_: (bh, b_, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, a, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, a, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, length=length, causal=causal),
+        grid=(b * h, nk, nq),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, a, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, a, b_: (bh, a, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, gp, lse, delta, kp, vp)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, length=length, causal=causal),
+        grid=(b * h, nq, nk),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, a, b_: (bh, a, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, gp, lse, delta, kp, vp)
+
+    def from_bh(x):
+        return x[:, :length].reshape(b, h, length, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq), from_bh(dk), from_bh(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -137,18 +320,19 @@ def flash_attention(
 
 
 def _fwd(q, k, v, causal, block_q, block_k, interpret):
-    out = _flash_forward(
-        q, k, v, causal=causal, block_q=block_q, block_k=block_k, interpret=interpret
+    out, out_p, lse = _flash_forward(
+        q, k, v, causal=causal, block_q=block_q, block_k=block_k, interpret=interpret,
+        return_lse=True,
     )
-    return out, (q, k, v)
+    return out, (q, k, v, out_p, lse)
 
 
 def _bwd(causal, block_q, block_k, interpret, res, g):
-    from tqdne_tpu.nn.attention import qkv_attention
-
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: qkv_attention(q, k, v, causal=causal), q, k, v)
-    return vjp(g)
+    q, k, v, out_p, lse = res
+    return _flash_backward(
+        q, k, v, out_p, lse, g, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
 
 
 flash_attention.defvjp(_fwd, _bwd)
