@@ -111,7 +111,7 @@ class UNet(nn.Module):
     num_heads: int = 1
     use_scale_shift_norm: bool = False
     use_causal_mask: bool = False
-    use_pallas_attention: bool = False
+    use_pallas_attention: bool | str = "auto"
     use_pallas_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 

@@ -6,10 +6,15 @@ contiguous channel slices) -> scaled dot-product with the sqrt(sqrt(d))
 double-scaling trick -> fp32 softmax -> zero-init 1x1 output projection
 -> residual add.
 
-The default path is a plain einsum: at reference sequence lengths
-(<= 508 in 1D, 16x16 in 2D) XLA fuses it onto the MXU just fine.  For
-long sequences `use_pallas=True` switches to the fused flash-attention
-kernel in tqdne_tpu.ops.flash_attention (same math, tiled, O(L) memory).
+Path selection (``use_pallas``):
+- "auto" (default): the fused Pallas flash kernel when the flattened
+  sequence is long enough to pay (L >= 256) and head_dim fits a lane
+  tile; the plain einsum otherwise.  Measured on v5e: at the 1D UNet's
+  L=508 the einsum path materializes a (64, 4, 508, 508) f32 score
+  tensor per block — ~10 of the 26 ms forward — while the 2D flagship's
+  16-token attention is faster as an einsum (flash tiling would pad
+  16 -> 128).
+- True / False: force one path (used by parity tests and benchmarks).
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     dims: int = 2
     use_causal_mask: bool = False
-    use_pallas: bool = False
+    use_pallas: bool | str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,10 +71,20 @@ class AttentionBlock(nn.Module):
         qkv = qkv.reshape(b, length, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            use_pallas = length >= 256 and head_dim <= 128
+        if use_pallas:
             from tqdne_tpu.ops.flash_attention import flash_attention
 
-            a = flash_attention(q, k, v, causal=self.use_causal_mask)
+            import jax
+
+            # mid lengths: one whole-sequence block per (batch, head) keeps
+            # the scores in VMEM and avoids a launch-bound 128x128 grid
+            # (head_dim here can be as small as 16); long sequences tile.
+            block = 512 if length <= 1024 else 128
+            a = flash_attention(q, k, v, self.use_causal_mask, block, block,
+                                jax.default_backend() == "cpu")
         else:
             a = qkv_attention(q, k, v, causal=self.use_causal_mask)
 
