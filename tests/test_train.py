@@ -207,7 +207,7 @@ def test_classifier_training_reduces_loss(h5path, mesh):
     x0 = jnp.zeros((1, T, 3))
     params = clf.init(jax.random.key(0), x0)
     tx = make_optimizer("adam", 1e-3)
-    train_step, eval_step = make_classifier_steps(clf, tx, ds.get_class_weights())
+    train_step, eval_step, metric_post = make_classifier_steps(clf, tx, ds.get_class_weights())
     state = TrainState.create(params, tx)
 
     batch = ds.load_batch(np.arange(16))
@@ -223,6 +223,27 @@ def test_classifier_training_reduces_loss(h5path, mesh):
     assert losses[-1] < losses[0]
     ev = jax.jit(eval_step)(state, batch, jax.random.key(0))
     assert float(ev["accuracy"]) >= 0.0
+    # torchmetrics-parity set (classifier.py:61-76): per-class counts ->
+    # macro precision/recall/F1 after aggregation
+    post = metric_post({k: np.asarray(v) for k, v in jax.device_get(ev).items()})
+    for k in ("macro_accuracy", "macro_precision", "macro_recall", "macro_f1"):
+        assert 0.0 <= post[k] <= 1.0, (k, post[k])
+    assert "tp_counts" not in post
+    # hand check on a tiny case: perfect prediction -> all ones
+    perfect = metric_post({
+        "loss": 0.0, "accuracy": 1.0,
+        "tp_counts": np.array([2.0, 3.0]), "pred_counts": np.array([2.0, 3.0]),
+        "true_counts": np.array([2.0, 3.0]),
+    })
+    assert perfect["macro_f1"] == 1.0 and perfect["macro_precision"] == 1.0
+    # one class never predicted: precision 0 for it, macro over seen classes
+    skewed = metric_post({
+        "loss": 0.0, "accuracy": 0.5,
+        "tp_counts": np.array([2.0, 0.0]), "pred_counts": np.array([4.0, 0.0]),
+        "true_counts": np.array([2.0, 2.0]),
+    })
+    assert skewed["macro_precision"] == 0.25  # (0.5 + 0) / 2
+    assert skewed["macro_recall"] == 0.5  # (1 + 0) / 2
     ds.close()
 
 

@@ -271,12 +271,15 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     max_steps = args.max_steps or epochs * len(train_loader)
     lr_schedule = cosine_annealing(1e-4, max_steps)
     tx = make_optimizer("adam", lr_schedule)
-    train_step, eval_step = make_classifier_steps(clf, tx, ds_train.get_class_weights())
+    train_step, eval_step, metric_post = make_classifier_steps(
+        clf, tx, ds_train.get_class_weights()
+    )
     state = TrainState.create(params, tx)
 
     trainer = Trainer(
         train_step, eval_step, mesh, workdir, max_epochs=epochs, max_steps=args.max_steps,
         seed=args.seed, project=config.project_name, lr_schedule=lr_schedule,
+        metric_postprocess=metric_post,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 

@@ -85,7 +85,14 @@ class Trainer:
         project: str | None = None,
         profile_steps: tuple[int, int] | None = None,
         lr_schedule: Callable | None = None,
+        metric_postprocess: Callable[[dict], dict] | None = None,
     ):
+        # applied to batch-aggregated validation metrics before logging —
+        # lets eval steps emit count vectors (e.g. per-class confusion
+        # counts) that only become ratios (precision/recall/F1) after
+        # epoch-level aggregation, matching torchmetrics semantics
+        # (/root/reference/tqdne/classifier.py:61-76)
+        self.metric_postprocess = metric_postprocess
         # LearningRateMonitor parity (training.py:36): log lr per window
         self.lr_schedule = lr_schedule
         # jax.profiler trace capture window (start_step, stop_step) —
@@ -188,14 +195,19 @@ class Trainer:
         return state
 
     def validate(self, state, val_loader, gstep: int) -> dict:
-        sums: dict[str, float] = {}
+        import numpy as np
+
+        sums: dict = {}
         n = 0
         for batch in val_loader:
             key = jax.random.fold_in(self.root_key, 2**31 + n)
             metrics = jax.device_get(self._eval_step(state, batch, key, *self.extra_args))
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = sums.get(k, 0.0) + np.asarray(v, np.float64)
             n += 1
         means = {k: v / max(n, 1) for k, v in sums.items()}
+        if self.metric_postprocess is not None:
+            means = self.metric_postprocess(means)
+        means = {k: float(v) for k, v in means.items()}
         self.writer.write(gstep, {f"validation/{k}": v for k, v in means.items()})
         return means

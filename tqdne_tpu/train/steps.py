@@ -220,9 +220,18 @@ def make_autoencoder_steps(ae, tx, *, kl_weight: float = 1e-6, ema_decay: float 
 
 
 def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999):
+    """Returns (train_step, eval_step, metric_postprocess).
+
+    Validation emits per-class confusion COUNTS (tp / predicted / true);
+    the postprocess turns the epoch-aggregated counts into the reference's
+    torchmetrics set — MulticlassAccuracy/Recall/Precision/F1, macro
+    averaged (/root/reference/tqdne/classifier.py:61-76) — which is only
+    correct after aggregation, not per batch.
+    """
     from tqdne_tpu.models.classifier import weighted_cross_entropy
 
     cw = jnp.asarray(class_weights)
+    num_classes = len(class_weights)
     clf_train = clf.clone(train=True)
     clf_eval = clf.clone(train=False)
 
@@ -243,7 +252,37 @@ def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999):
 
     def eval_step(state: TrainState, batch, key):
         _, metrics = _loss(state.ema_params, batch, key, False)
-        metrics.pop("logits")  # scalars only for the metric loop
+        logits = metrics.pop("logits")
+        pred = jnp.argmax(logits, -1)
+        label = batch["label"]
+        pred_1h = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+        true_1h = jax.nn.one_hot(label, num_classes, dtype=jnp.float32)
+        metrics["tp_counts"] = jnp.sum(pred_1h * true_1h, axis=0)  # (C,)
+        metrics["pred_counts"] = jnp.sum(pred_1h, axis=0)
+        metrics["true_counts"] = jnp.sum(true_1h, axis=0)
         return metrics
 
-    return train_step, eval_step
+    def metric_postprocess(means: dict) -> dict:
+        import numpy as np
+
+        tp = np.asarray(means.pop("tp_counts"))
+        pred = np.asarray(means.pop("pred_counts"))
+        true = np.asarray(means.pop("true_counts"))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            precision = np.where(pred > 0, tp / pred, 0.0)
+            recall = np.where(true > 0, tp / true, 0.0)
+            f1 = np.where(precision + recall > 0,
+                          2 * precision * recall / (precision + recall), 0.0)
+        # macro averages over classes that appear (torchmetrics ignores
+        # absent classes in macro averaging)
+        seen = true > 0
+        denom = max(int(seen.sum()), 1)
+        return dict(
+            means,
+            macro_accuracy=float(recall[seen].sum() / denom),  # = macro recall
+            macro_precision=float(precision[seen].sum() / denom),
+            macro_recall=float(recall[seen].sum() / denom),
+            macro_f1=float(f1[seen].sum() / denom),
+        )
+
+    return train_step, eval_step, metric_postprocess
