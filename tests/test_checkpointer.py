@@ -47,3 +47,28 @@ def test_restore_none_when_empty(tmp_path):
     assert ckpt.restore_latest(_state(0.0)) is None
     assert ckpt.restore_latest_raw() is None
     ckpt.close()
+
+
+def test_hyperparameters_in_checkpoint(tmp_path):
+    """save_hyperparameters/load_from_checkpoint parity (reference
+    edm.py:103, utils.py:46-70): checkpoints are self-describing and
+    restores refuse silently-drifted architectures."""
+    import pytest
+
+    from tqdne_tpu.train.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(tmp_path / "checkpoints")
+    hp = {"kind": "edm", "unet": {"model_channels": 64, "channel_mult": (1, 2, 4)}}
+    assert ckpt.restore_hyperparameters() is None
+    assert not ckpt.verify_hyperparameters(hp)  # nothing stored yet
+    ckpt.save_hyperparameters(hp)
+    stored = ckpt.restore_hyperparameters()
+    assert stored["unet"]["model_channels"] == 64
+    # tuples survive JSON round-trip comparison
+    assert ckpt.verify_hyperparameters(hp)
+    # drifted architecture -> hard error (strict) or warning
+    bad = {"kind": "edm", "unet": {"model_channels": 128, "channel_mult": (1, 2, 4)}}
+    with pytest.raises(ValueError, match="model_channels"):
+        ckpt.verify_hyperparameters(bad)
+    assert not ckpt.verify_hyperparameters(bad, strict=False)
+    ckpt.close()

@@ -67,6 +67,16 @@ def test_evaluation_report(tmp_path, rng):
     assert 0.0 <= rep["classifier_accuracy_predicted"] <= 1.0
     fid_bins = np.array(rep["fid_per_bin"])
     assert fid_bins.shape == (6, 6)
+    assert "fid_calibration" not in rep  # only with a second target set
+
+    # train-vs-test calibration FID (evaluation.ipynb baseline): compare
+    # this set's targets against another split's targets
+    p3 = _write_eval_file(tmp_path / "train_rank0.h5", rng, n=48)
+    rep2 = evaluation_report([p1, p2], min_bin_count=2, calibration_files=[p3])
+    assert rep2["fid_calibration"] >= 0
+    # same-distribution targets: calibration FID comparable to (or below)
+    # the generated-vs-target FID scale
+    assert np.isfinite(rep2["fid_calibration"])
 
 
 def test_incremental_writer_resume(tmp_path, rng):

@@ -132,11 +132,22 @@ def signal_shape(config) -> tuple[int, ...]:
 
 def load_ae_variables(config, ae_name: str, ae, example_signal_shape):
     """Restore frozen AE weights for latent diffusion: our orbax run dir
-    (outputs/<name>/checkpoints) or a reference torch .ckpt (converted)."""
+    (outputs/<name>/checkpoints) or a reference torch .ckpt (converted).
+    When the run saved hyperparameters, the architecture is verified
+    against them (reference save_hyperparameters semantics)."""
     rundir = Path(config.outputdir) / ae_name
     ckptdir = rundir / "checkpoints"
     if ckptdir.exists():
-        restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
+        ckpt = Checkpointer(ckptdir, create=False)
+        stored = ckpt.restore_hyperparameters()
+        if stored is not None:
+            ckpt.verify_hyperparameters(
+                {"kind": "autoencoder", "dims": stored.get("dims"),
+                 "encoder": dict(ae.encoder_config), "decoder": dict(ae.decoder_config),
+                 "kl_weight": stored.get("kl_weight")},
+                strict=False,
+            )
+        restored = ckpt.restore_latest_raw()
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckptdir}")
         state, _ = restored
@@ -153,6 +164,15 @@ def load_ae_variables(config, ae_name: str, ae, example_signal_shape):
         f"frozen autoencoder not found under {rundir} (train it first with "
         f"`tqdne-train autoencoder --workdir ...`)"
     )
+
+
+def _tuplify(cfg: dict) -> dict:
+    """JSON round-trips turn tuples into lists; restore tuple-typed keys."""
+    out = dict(cfg)
+    for k in ("channel_mult", "attention_resolutions"):
+        if k in out and isinstance(out[k], list):
+            out[k] = tuple(out[k])
+    return out
 
 
 class InferenceBundle:
@@ -224,8 +244,19 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
     model_shape = sig_shape
     enc_cfg = dec_cfg = None
     if recipe.latent:
-        ae, enc_cfg, dec_cfg = build_autoencoder(config, recipe.dims, dtype,
-                                                 model_channels=tiny_mc)
+        ae_run = ae_name or recipe.ae_name
+        ae_stored = Checkpointer(
+            Path(config.outputdir) / ae_run / "checkpoints", create=False
+        ).restore_hyperparameters() if not autoencoder_checkpoint else None
+        if ae_stored is not None and "encoder" in ae_stored:
+            ae = AutoencoderKL(
+                encoder_config=_tuplify(ae_stored["encoder"]),
+                decoder_config=_tuplify(ae_stored["decoder"]), dtype=dtype,
+            )
+            enc_cfg, dec_cfg = dict(ae.encoder_config), dict(ae.decoder_config)
+        else:
+            ae, enc_cfg, dec_cfg = build_autoencoder(config, recipe.dims, dtype,
+                                                     model_channels=tiny_mc)
         if autoencoder_checkpoint:
             from tqdne_tpu.utils.torch_convert import (
                 convert_autoencoder,
@@ -244,8 +275,25 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
     overrides = dict(cond_features=cond_features)
     if tiny:
         overrides["model_channels"] = 32
-    unet, ucfg = build_unet(config, recipe.dims, model_shape[-1], model_shape[-1], dtype,
-                            **overrides)
+    # self-describing checkpoints: when the run saved hyperparameters,
+    # rebuild the UNet from the STORED architecture (Lightning
+    # load_from_checkpoint semantics) so preset drift or forgotten --tiny
+    # flags can't silently mismatch the weights
+    stored = None
+    if not edm_checkpoint:
+        ckpt_probe = Checkpointer(
+            Path(config.outputdir) / (run_name or recipe.name) / "checkpoints",
+            create=False,
+        )
+        stored = ckpt_probe.restore_hyperparameters()
+    if stored is not None and "unet" in stored:
+        from tqdne_tpu.models.unet import UNet
+
+        ucfg = _tuplify(stored["unet"])
+        unet = UNet(**ucfg, dtype=dtype)
+    else:
+        unet, ucfg = build_unet(config, recipe.dims, model_shape[-1], model_shape[-1],
+                                dtype, **overrides)
 
     if edm_checkpoint:
         from tqdne_tpu.utils.torch_convert import convert_unet, load_lightning_checkpoint

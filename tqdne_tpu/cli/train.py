@@ -133,6 +133,9 @@ def run(recipe_key: str, args):
         state = TrainState.create(variables, tx)
         extra = ()
         callbacks = ()
+        hparams = {"kind": "autoencoder", "dims": recipe.dims,
+                   "encoder": enc_cfg, "decoder": dec_cfg,
+                   "kl_weight": config.kl_weight}
     else:
         cond_features = len(config.features_keys) if recipe.cond else None
         ae_vars = None
@@ -210,6 +213,9 @@ def run(recipe_key: str, args):
                 return fn(params, key, cond, extra[0])
             return fn(params, key, cond)
 
+        hparams = {"kind": recipe.kind, "dims": recipe.dims, "latent": recipe.latent,
+                   "ae_name": recipe.ae_name, "unet": ucfg}
+
         n_wave_ch = 3
         callbacks = (
             SamplingEvalCallback(
@@ -231,6 +237,7 @@ def run(recipe_key: str, args):
         max_epochs=epochs, max_steps=args.max_steps,
         extra_args=extra, callbacks=callbacks, seed=args.seed,
         project=config.project_name, lr_schedule=lr_schedule,
+        hparams=hparams,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
@@ -280,6 +287,8 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
         train_step, eval_step, mesh, workdir, max_epochs=epochs, max_steps=args.max_steps,
         seed=args.seed, project=config.project_name, lr_schedule=lr_schedule,
         metric_postprocess=metric_post,
+        hparams={"kind": "classifier", "encoder": enc_cfg,
+                 "num_classes": config.num_classes},
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 

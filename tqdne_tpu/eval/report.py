@@ -48,7 +48,12 @@ def evaluation_report(
     dist_bins=(0, 75, 100, 125, 150, 175, 200),
     fs: float = 100.0,
     min_bin_count: int = 8,
+    calibration_files=None,
 ) -> dict:
+    """``calibration_files``: a second tqdne-evaluate output set (e.g. the
+    TRAIN split) whose target embeddings are compared against this set's
+    target embeddings — the train-vs-test FID baseline evaluation.ipynb
+    computes before judging the generated FID."""
     paths = [Path(p) for p in (eval_files if isinstance(eval_files, (list, tuple))
                                else [eval_files])]
     pred_emb = _concat_ranks(paths, "predicted_classifier_embedding")
@@ -64,6 +69,13 @@ def evaluation_report(
 
     # global FID / IS
     report["fid"] = frechet_distance(pred_emb, targ_emb)
+    if calibration_files:
+        cal_paths = [Path(p) for p in (
+            calibration_files if isinstance(calibration_files, (list, tuple))
+            else [calibration_files]
+        )]
+        cal_emb = _concat_ranks(cal_paths, "target_classifier_embedding")
+        report["fid_calibration"] = frechet_distance(cal_emb, targ_emb)
     probs = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
     probs /= probs.sum(-1, keepdims=True)
     marginal = probs.mean(0)
@@ -124,8 +136,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser("tqdne-report", description=__doc__)
     parser.add_argument("files", nargs="+", help="tqdne-evaluate output HDF5 files")
     parser.add_argument("--out", type=str, default=None, help="JSON output path")
+    parser.add_argument("--calibration-files", nargs="+", default=None,
+                        help="second evaluate-output set (train split) for the "
+                             "train-vs-test calibration FID")
     args = parser.parse_args(argv)
-    report = evaluation_report(args.files)
+    report = evaluation_report(args.files, calibration_files=args.calibration_files)
     text = json.dumps(report, indent=2)
     if args.out:
         Path(args.out).write_text(text)

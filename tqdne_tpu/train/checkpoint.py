@@ -10,11 +10,15 @@ inside the same checkpoint file, ema.py:50-54).
 
 from __future__ import annotations
 
+import json
+import logging
 from pathlib import Path
 from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger("tqdne_tpu")
 
 
 class Checkpointer:
@@ -23,6 +27,7 @@ class Checkpointer:
         """``create=False`` opens read-only: restoring from a run dir won't
         scatter empty best/last directories when nothing was ever saved."""
         directory = Path(directory).absolute()
+        self.directory = directory
         self.monitor = monitor
         self._best = ocp.CheckpointManager(
             directory / "best",
@@ -84,6 +89,58 @@ class Checkpointer:
         state = self._best.restore(step, args=ocp.args.StandardRestore(abstract))
         return state, step
 
+    # -- hyperparameters-in-checkpoint ---------------------------------------
+    # The reference's Lightning modules call save_hyperparameters() so
+    # checkpoints are self-describing and load_from_checkpoint needs no
+    # config (/root/reference/tqdne/edm.py:103, utils.py:46-70).  Here the
+    # architecture/config dict lives in hparams.json next to the orbax
+    # trees, and restores verify it against the rebuilt config.
+
+    @property
+    def hparams_path(self) -> Path:
+        return self.directory / "hparams.json"
+
+    def save_hyperparameters(self, hparams: dict) -> None:
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.hparams_path.write_text(json.dumps(hparams, indent=2, default=str))
+
+    def restore_hyperparameters(self) -> dict | None:
+        if self.hparams_path.exists():
+            return json.loads(self.hparams_path.read_text())
+        return None
+
+    def verify_hyperparameters(self, hparams: dict, *, strict: bool = True) -> bool:
+        """Compare against the stored hparams; on mismatch raise (strict)
+        or warn.  Returns True when stored hparams exist and match."""
+        stored = self.restore_hyperparameters()
+        if stored is None:
+            return False
+        diffs = _dict_diff(stored, json.loads(json.dumps(hparams, default=str)))
+        if diffs:
+            msg = (f"checkpoint hyperparameters at {self.hparams_path} do not match "
+                   f"the requested configuration: {'; '.join(diffs[:8])}")
+            if strict:
+                raise ValueError(msg)
+            logger.warning(msg)
+            return False
+        return True
+
     def close(self):
         self._best.close()
         self._last.close()
+
+
+def _dict_diff(a: dict, b: dict, prefix: str = "") -> list[str]:
+    diffs = []
+    for key in sorted(set(a) | set(b)):
+        pa, pb = a.get(key, "<absent>"), b.get(key, "<absent>")
+        path = f"{prefix}{key}"
+        if isinstance(pa, dict) and isinstance(pb, dict):
+            diffs += _dict_diff(pa, pb, prefix=path + ".")
+        elif _norm(pa) != _norm(pb):
+            diffs.append(f"{path}: stored={pa!r} requested={pb!r}")
+    return diffs
+
+
+def _norm(v):
+    return tuple(v) if isinstance(v, (list, tuple)) else v

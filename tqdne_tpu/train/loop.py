@@ -86,6 +86,7 @@ class Trainer:
         profile_steps: tuple[int, int] | None = None,
         lr_schedule: Callable | None = None,
         metric_postprocess: Callable[[dict], dict] | None = None,
+        hparams: dict | None = None,
     ):
         # applied to batch-aggregated validation metrics before logging —
         # lets eval steps emit count vectors (e.g. per-class confusion
@@ -114,6 +115,11 @@ class Trainer:
         self.root_key = jax.random.key(seed)
         self.writer = MetricWriter(self.workdir, project=project, use_wandb=use_wandb)
         self.checkpointer = Checkpointer(self.workdir / "checkpoints")
+        if hparams is not None:
+            # self-describing checkpoints (reference save_hyperparameters,
+            # edm.py:103): refuse to silently resume a drifted architecture
+            if not self.checkpointer.verify_hyperparameters(hparams, strict=True):
+                self.checkpointer.save_hyperparameters(hparams)
 
         repl = replicated(mesh)
         bshard = batch_sharding(mesh)
@@ -127,6 +133,20 @@ class Trainer:
             eval_step, in_shardings=(None, bshard, None) + (repl,) * n_extra
         )
 
+    def _write_progress(self, epoch: int, step: int):
+        """Persist the epoch with the checkpoint (the reference stores it in
+        the Lightning checkpoint; deriving it as step//len(loader) silently
+        mis-resumes when batch or dataset size changed between runs)."""
+        (self.workdir / "checkpoints" / "progress.json").write_text(
+            json.dumps({"epoch": int(epoch), "step": int(step)})
+        )
+
+    def _read_progress(self) -> dict | None:
+        p = self.workdir / "checkpoints" / "progress.json"
+        if p.exists():
+            return json.loads(p.read_text())
+        return None
+
     # -- main loop -------------------------------------------------------------
     def fit(self, state, train_loader, val_loader=None, *, resume: bool = True):
         start_epoch = 0
@@ -134,7 +154,11 @@ class Trainer:
             restored = self.checkpointer.restore_latest(state)
             if restored is not None:
                 state, ckpt_step = restored
-                start_epoch = ckpt_step // max(len(train_loader), 1)
+                progress = self._read_progress()
+                if progress is not None and progress.get("step") == ckpt_step:
+                    start_epoch = progress["epoch"]
+                else:  # legacy checkpoints without a progress record
+                    start_epoch = ckpt_step // max(len(train_loader), 1)
                 logger.info("resumed from step %d (epoch %d)", ckpt_step, start_epoch)
 
         state = jax.device_put(state, replicated(self.mesh))
@@ -187,11 +211,14 @@ class Trainer:
 
             if (epoch + 1) % self.checkpoint_every_epochs == 0:
                 self.checkpointer.save(gstep, jax.device_get(state), metrics=val_metrics or None)
+                self._write_progress(epoch + 1, gstep)
 
             if self.max_steps is not None and gstep >= self.max_steps:
                 break
 
         self.checkpointer.save(gstep, jax.device_get(state))
+        if "epoch" in locals():
+            self._write_progress(epoch + 1, gstep)
         return state
 
     def validate(self, state, val_loader, gstep: int) -> dict:
