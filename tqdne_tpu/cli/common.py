@@ -366,7 +366,7 @@ def dataset_feature_stats(config) -> "np.ndarray":
     (experiments/generate.py:82-106) instead of the CLI's hardcoded table."""
     import h5py
 
-    with h5py.File(config.datapath, "r") as f:
+    with h5py.File(config.datapath, "r", locking=False) as f:
         stats = []
         for key in config.features_keys:
             arr = f[key][:]

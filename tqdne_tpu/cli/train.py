@@ -217,6 +217,21 @@ def run(recipe_key: str, args):
                    "ae_name": recipe.ae_name, "unet": ucfg}
 
         n_wave_ch = 3
+        eval_plots = [P.SamplePlot(plot_target=True, fs=config.fs, channel=c)
+                      for c in range(n_wave_ch)]
+        eval_plots += [P.AmplitudeSpectralDensityPlot(fs=config.fs, channel=c)
+                       for c in range(n_wave_ch)]
+        feature_stats = None
+        if recipe.cond:
+            # Bin/Grid figures need raw magnitude/distance — denormalize cond
+            # with dataset stats inside the callback (evaluation.ipynb parity).
+            feature_stats = common.dataset_feature_stats(config)
+            eval_plots += [
+                P.BinPlot(M.AmplitudeSpectralDensity(fs=config.fs, channel=0, isotropic=True),
+                          configs.MAG_BINS, configs.DIST_BINS),
+                P.MovingAverageEnvelopeGrid(config.fs, 0, configs.MAG_BINS, configs.DIST_BINS),
+                P.AmplitudeSpectralDensityGrid(config.fs, 0, configs.MAG_BINS, configs.DIST_BINS),
+            ]
         callbacks = (
             SamplingEvalCallback(
                 cb_sample,
@@ -224,11 +239,10 @@ def run(recipe_key: str, args):
                 representation,
                 metrics=[M.AmplitudeSpectralDensity(fs=config.fs, channel=c, isotropic=True)
                          for c in range(n_wave_ch)],
-                plots=[P.SamplePlot(plot_target=True, fs=config.fs, channel=c)
-                       for c in range(n_wave_ch)]
-                + [P.AmplitudeSpectralDensityPlot(fs=config.fs, channel=c)
-                   for c in range(n_wave_ch)],
+                plots=eval_plots,
                 every_n_epochs=args.eval_every,
+                feature_stats=feature_stats,
+                features_keys=config.features_keys,
             ),
         )
 

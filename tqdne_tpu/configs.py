@@ -71,12 +71,18 @@ class LatentSpectrogramConfig(SpectrogramConfig):
     kl_weight: float = 1e-6
 
 
+# Canonical magnitude / distance bins (reference config.py:53-58), shared by
+# the classification config and the training-time Bin/Grid evaluation plots.
+MAG_BINS: tuple[float, ...] = (4, 4.75, 5, 5.5, 6.5, 7.5, 9.1)
+DIST_BINS: tuple[float, ...] = (0, 75, 100, 125, 150, 175, 200)
+
+
 @dataclasses.dataclass
 class SpectrogramClassificationConfig(SpectrogramConfig):
     """Magnitude x distance bin classification (config.py:53-58 parity)."""
 
-    mag_bins: tuple[float, ...] = (4, 4.75, 5, 5.5, 6.5, 7.5, 9.1)
-    dist_bins: tuple[float, ...] = (0, 75, 100, 125, 150, 175, 200)
+    mag_bins: tuple[float, ...] = MAG_BINS
+    dist_bins: tuple[float, ...] = DIST_BINS
 
     @property
     def num_classes(self) -> int:

@@ -42,6 +42,14 @@ class SamplingEvalCallback:
     metrics / plots:
         tqdne_tpu.eval.metrics.Metric / eval.plots.Plot instances over
         channel-first waveform batches.
+    feature_stats / features_keys:
+        (F, 2) [mean, std] per conditioning feature and the matching key
+        names.  When given, the batch "cond" columns are denormalized and
+        the raw magnitude / hypocentral_distance are passed to every plot
+        as mag= / dist= kwargs, enabling BinPlot / GridPlot during
+        training (the reference computes these from the HDF5 raw columns
+        in evaluation.ipynb; LogCallback passes cond through,
+        /root/reference/tqdne/logging.py:75-81).
     """
 
     def __init__(
@@ -53,6 +61,8 @@ class SamplingEvalCallback:
         plots: Sequence = (),
         every_n_epochs: int = 10,
         seed: int = 123,
+        feature_stats=None,
+        features_keys: Sequence[str] = (),
     ):
         self.sample_fn = sample_fn
         self.val_batches = list(val_batches)
@@ -61,6 +71,8 @@ class SamplingEvalCallback:
         self.plots = list(plots)
         self.every_n_epochs = every_n_epochs
         self.seed = seed
+        self.feature_stats = None if feature_stats is None else np.asarray(feature_stats)
+        self.features_keys = list(features_keys)
 
     def __call__(self, trainer, state, epoch: int, gstep: int):
         if (epoch + 1) % self.every_n_epochs != 0:
@@ -82,6 +94,17 @@ class SamplingEvalCallback:
 
         pred = np.concatenate(preds)
         target = np.concatenate(targets)[:, :, : pred.shape[-1]]
+
+        plot_kwargs = {}
+        if conds and self.feature_stats is not None and self.features_keys:
+            cond = np.concatenate(conds)
+            raw = cond * self.feature_stats[:, 1] + self.feature_stats[:, 0]
+            by_key = dict(zip(self.features_keys, raw.T))
+            if "magnitude" in by_key:
+                plot_kwargs["mag"] = by_key["magnitude"]
+            if "hypocentral_distance" in by_key:
+                plot_kwargs["dist"] = by_key["hypocentral_distance"]
+
         scalars = {}
         for metric in self.metrics:
             try:
@@ -96,7 +119,7 @@ class SamplingEvalCallback:
             plotdir.mkdir(parents=True, exist_ok=True)
             for plot in self.plots:
                 try:
-                    fig = plot(pred, target)
+                    fig = plot(pred, target, **plot_kwargs)
                     fig.savefig(plotdir / f"{plot.name.replace(' ', '_')}.png", dpi=100)
                 except Exception as e:
                     logger.warning("plot %s failed: %s", plot.name, e)
