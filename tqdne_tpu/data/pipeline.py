@@ -91,10 +91,19 @@ class BatchLoader:
         if self.channels_last:
             batch = to_channels_last(batch)
         if jax.process_count() > 1:
-            # per-host slice of the global batch (multi-host input sharding)
+            # per-host slice of the global batch (multi-host input sharding);
+            # each host reads only its slice, then the slices are assembled
+            # into one global sharded array (device_put of host-local data
+            # with a non-addressable sharding would be wrong here)
             per = len(batch_idx) // jax.process_count()
             s = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
             batch = {k: v[s] for k, v in batch.items()}
+            if self.sharding is not None:
+                batch = {
+                    k: jax.make_array_from_process_local_data(self.sharding, v)
+                    for k, v in batch.items()
+                }
+            return batch
         if self.sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self.sharding), batch

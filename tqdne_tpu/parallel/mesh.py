@@ -23,21 +23,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize_distributed():
     """Initialize jax.distributed for multi-host runs when launch env vars
-    are present (controller address / process count) — the TPU-native
-    replacement for torchrun process groups (experiments/README.md usage).
-    Safe no-op on single-host."""
+    are present (coordinator address / process count / process id) — the
+    TPU-native replacement for torchrun process groups
+    (experiments/README.md usage).  Safe no-op on single-host.
+
+    Must be called before any backend use: it checks
+    `jax.distributed.is_initialized()` rather than `jax.process_count()`
+    (the latter would initialize the local backend and make a later
+    distributed init impossible).  On TPU pods / Slurm / Open MPI the
+    arguments are auto-detected; on plain multi-process launches (our CPU
+    smoke test, bare-metal pods) they come from JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if any(k in os.environ for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                                     "MEGASCALE_COORDINATOR_ADDRESS")):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # pragma: no cover
-            import logging
+    if jax.distributed.is_initialized():
+        return
+    addr = next(
+        (os.environ[k] for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                                 "MEGASCALE_COORDINATOR_ADDRESS") if k in os.environ),
+        None,
+    )
+    if addr is None:
+        return
+    kwargs = {"coordinator_address": addr}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "JAX_PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # pragma: no cover
+        import logging
 
-            logging.getLogger("tqdne_tpu").warning("jax.distributed init failed: %s", e)
+        logging.getLogger("tqdne_tpu").warning("jax.distributed init failed: %s", e)
 
 
 def make_mesh(n_devices: int | None = None, axes: tuple[str, ...] = ("data",)) -> Mesh:
@@ -74,9 +93,26 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-host: committed device arrays (e.g. orbax-restored leaves) can't
+    be device_put to a sharding spanning non-addressable devices (the CPU
+    backend has no cross-host transfers), so leaves are round-tripped
+    through host numpy first — every host holds the same values by
+    construction (same init seed / same checkpoint).
+    """
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    if jax.process_count() > 1:
+        def put(x):
+            if isinstance(x, jax.Array):
+                x = np.asarray(x)
+            return jax.device_put(x, sharding)
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def local_batch_slice(global_batch: int) -> slice:

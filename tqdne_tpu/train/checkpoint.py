@@ -29,6 +29,12 @@ class Checkpointer:
         directory = Path(directory).absolute()
         self.directory = directory
         self.monitor = monitor
+        # distinct barrier prefixes: both managers save the same step number,
+        # and in multi-host runs orbax derives its sync-barrier keys from the
+        # step — without a prefix the two managers' barriers collide
+        # ("Barrier _async_write_complete.N is already ongoing")
+        from orbax.checkpoint import options as ocp_options
+
         self._best = ocp.CheckpointManager(
             directory / "best",
             options=ocp.CheckpointManagerOptions(
@@ -36,11 +42,20 @@ class Checkpointer:
                 best_fn=lambda m: float(m[monitor]),
                 best_mode="min",
                 create=create,
+                multiprocessing_options=ocp_options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="best"
+                ),
             ),
         )
         self._last = ocp.CheckpointManager(
             directory / "last",
-            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=create),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                create=create,
+                multiprocessing_options=ocp_options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="last"
+                ),
+            ),
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None):

@@ -20,7 +20,7 @@ from typing import Callable, Sequence
 
 import jax
 
-from tqdne_tpu.parallel.mesh import batch_sharding, replicated
+from tqdne_tpu.parallel.mesh import batch_sharding, replicate, replicated
 from tqdne_tpu.train.checkpoint import Checkpointer
 
 logger = logging.getLogger("tqdne_tpu")
@@ -43,6 +43,8 @@ class MetricWriter:
                 logger.warning("wandb unavailable (%s); logging to JSONL only", e)
 
     def write(self, step: int, metrics: dict):
+        if jax.process_index() != 0:  # one metrics stream per run (multi-host)
+            return
         record = {"step": int(step), **{k: float(v) for k, v in metrics.items()}}
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
@@ -110,7 +112,7 @@ class Trainer:
         self.checkpoint_every_epochs = checkpoint_every_epochs
         self.callbacks = list(callbacks)
         self.extra_args = tuple(
-            jax.device_put(a, replicated(mesh)) if a is not None else None for a in extra_args
+            replicate(mesh, a) if a is not None else None for a in extra_args
         )
         self.root_key = jax.random.key(seed)
         self.writer = MetricWriter(self.workdir, project=project, use_wandb=use_wandb)
@@ -137,6 +139,8 @@ class Trainer:
         """Persist the epoch with the checkpoint (the reference stores it in
         the Lightning checkpoint; deriving it as step//len(loader) silently
         mis-resumes when batch or dataset size changed between runs)."""
+        if jax.process_index() != 0:  # shared filesystem: one writer
+            return
         (self.workdir / "checkpoints" / "progress.json").write_text(
             json.dumps({"epoch": int(epoch), "step": int(step)})
         )
@@ -149,6 +153,14 @@ class Trainer:
 
     # -- main loop -------------------------------------------------------------
     def fit(self, state, train_loader, val_loader=None, *, resume: bool = True):
+        """Run the training loop; returns the final state.
+
+        The input ``state`` is DONATED: the jitted train step consumes its
+        buffers in place (donate_argnums), and on multi-host meshes the
+        initial replication device_put may alias the caller's arrays
+        rather than copy them.  Do not reuse ``state`` (or the params it
+        was created from) after calling fit — use the returned state.
+        """
         start_epoch = 0
         if resume:
             restored = self.checkpointer.restore_latest(state)
@@ -161,7 +173,7 @@ class Trainer:
                     start_epoch = ckpt_step // max(len(train_loader), 1)
                 logger.info("resumed from step %d (epoch %d)", ckpt_step, start_epoch)
 
-        state = jax.device_put(state, replicated(self.mesh))
+        state = replicate(self.mesh, state)
         gstep = int(jax.device_get(state.step))
         t_train = 0.0
 
