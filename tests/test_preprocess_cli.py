@@ -29,6 +29,10 @@ def archive(tmp_path, rng):
             g.attrs["depth"] = 20.0
             g.attrs["vs30"] = 400.0 if i != 7 else -1.0  # i=7 filtered at stage 04
             g.attrs["azimuthal_gap"] = 120.0
+            # hypocenters: even = onshore (near Nagano), odd = offshore (2011
+            # Tohoku epicenter) for is_onshore classification
+            g.attrs["hypo_lat"] = 36.65 if i % 2 == 0 else 38.32
+            g.attrs["hypo_lon"] = 138.18 if i % 2 == 0 else 142.37
     return path
 
 
@@ -48,9 +52,12 @@ def test_preprocess_pipeline(archive, tmp_path):
         assert 1 <= n <= 5  # vs30<0 dropped; pick-window may drop more
         assert f["waveforms"].shape[1:] == (4064, 3)  # (N, T, C) contract
         for key in ("hypocentral_distance", "magnitude", "vs30", "hypocentre_depth",
-                    "azimuthal_gap", "indices_valid_waveforms"):
+                    "azimuthal_gap", "indices_valid_waveforms", "is_onshore"):
             assert f[key].shape == (n,)
         assert (f["vs30"][:] > 0).all()
+        # onshore/offshore follows the archive hypocenters (no -1: all
+        # records carried coordinates)
+        assert set(np.unique(f["is_onshore"][:])) <= {0, 1}
 
 
 def test_preprocess_resume(archive, tmp_path):

@@ -86,10 +86,23 @@ def process_archive(
                 onset = int(pp.pick_onset(wf[-1][None], TARGET_FS)[0])
             cut = pp.cut_around_onset(wf, onset, PRE_SAMPLES, trace_len)
 
+            # 03: onshore/offshore hypocenter classification (reference
+            # 03_picking:214-224 via OSMnx; here geo.classify_onshore);
+            # -1 when the archive carries no hypocenter coordinates
+            lat = grp.attrs.get("hypo_lat", grp.attrs.get("latitude"))
+            lon = grp.attrs.get("hypo_lon", grp.attrs.get("longitude"))
+            if lat is not None and lon is not None:
+                from tqdne_tpu.data.geo import classify_onshore
+
+                is_onshore = int(classify_onshore(float(lat), float(lon))[0])
+            else:
+                is_onshore = -1
+
             writer.write(key, {
                 "waveform": cut.astype(np.float32),
                 "features": np.array([rhyp, mag, vs30, depth,
                                       grp.attrs.get("azimuthal_gap", 0.0)], np.float32),
+                "is_onshore": np.array(is_onshore, np.int64),
             })
             n_done += 1
     print(f"stage 01-03: processed {n_done}, filtered {n_skip} (resumable at {stage_path})")
@@ -100,19 +113,22 @@ def finalize(stage_path, workdir, trace_len: int = TRACE_LEN):
     """Stage 04 + assembly: quality filters -> raw_waveforms.h5."""
     import h5py
 
-    keys, wfs, feats = [], [], []
+    keys, wfs, feats, onshore = [], [], [], []
     with h5py.File(stage_path, "r") as f:
         for key in f:
             wfs.append(f[key]["waveform"][()])
             feats.append(f[key]["features"][()])
+            # stage files from before the is_onshore column: unknown (-1)
+            onshore.append(int(f[key]["is_onshore"][()]) if "is_onshore" in f[key] else -1)
             keys.append(key)
     wf = np.stack(wfs)  # (N, C, T)
     feats = np.stack(feats)
+    onshore = np.array(onshore, np.int64)
 
     keep = feats[:, 2] > 0  # vs30 > 0
     keep &= ~check_small_range(wf).any(axis=-1)  # dead channels
     keep &= pp.p_window_filter(wf, TARGET_FS)  # onset inside 2-7 s
-    wf, feats = wf[keep], feats[keep]
+    wf, feats, onshore = wf[keep], feats[keep], onshore[keep]
     validity = compute_validity_indices(wf)
 
     out = Path(workdir) / "data" / "raw_waveforms.h5"
@@ -120,6 +136,7 @@ def finalize(stage_path, workdir, trace_len: int = TRACE_LEN):
     with h5py.File(out, "w") as f:
         f.create_dataset("waveforms", data=np.swapaxes(wf, 1, 2))  # (N, T, C) contract
         f.create_dataset("indices_valid_waveforms", data=validity)
+        f.create_dataset("is_onshore", data=onshore)  # reference 03_picking:464
         for i, name in enumerate(names):
             f.create_dataset(name, data=feats[:, i])
     print(f"stage 04: kept {keep.sum()}/{len(keep)} -> {out}")
