@@ -102,15 +102,19 @@ def main():
     batch = 64
     run = build_sampler(batch)
 
-    # warmup / compile
+    # warmup / compile.  Timing ends with a scalar fetch, not
+    # block_until_ready: the relay's ready-notifications proved unreliable
+    # for some programs (returned in 0.2 ms for a 400 ms Griffin-Lim chain,
+    # scripts/profile_griffin_lim.py), while a scalar fetch cannot complete
+    # before the computation does.
     out = run(jax.random.key(0))
-    jax.block_until_ready(out)
+    float(out.sum())
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(jax.random.key(i + 1))
-    jax.block_until_ready(out)
+    float(out.sum())
     dt = time.perf_counter() - t0
 
     wps = batch * iters / dt
@@ -120,11 +124,11 @@ def main():
     # stays the LAST line for the driver's parser.
     run_e2e = build_e2e(batch)
     out = run_e2e(jax.random.key(100))
-    jax.block_until_ready(out)
+    float(out.sum())
     t0 = time.perf_counter()
     for i in range(3):
         out = run_e2e(jax.random.key(101 + i))
-    jax.block_until_ready(out)
+    float(out.sum())
     e2e_wps = batch * 3 / (time.perf_counter() - t0)
     print(
         json.dumps(

@@ -115,3 +115,44 @@ def test_jax_griffin_lim_matches_numpy_quality(rng):
     err_np = np.linalg.norm(np.abs(nps.stft(out_np, 256, 32)) - mag)
     err_j = np.linalg.norm(np.abs(nps.stft(out_j, 256, 32)) - mag)
     assert err_j < err_np * 1.5 + 1e-3
+
+
+def test_matmul_dft_stft_matches_fft(rng):
+    """MXU matmul-DFT path == rfft path (ops/spectral.py impl switch)."""
+    x = _waveform(rng, (2, 4064))
+    want = np.asarray(jsp.stft(x, 256, 32, impl="fft"))
+    got = np.asarray(jsp.stft(x, 256, 32, impl="matmul"))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
+
+
+def test_matmul_dft_istft_matches_fft(rng):
+    x = _waveform(rng, (2, 4064))
+    spec = np.asarray(jsp.stft(x, 256, 32, impl="fft")).astype(np.complex64)
+    want = np.asarray(jsp.istft(spec, 256, 32, 4064, impl="fft"))
+    got = np.asarray(jsp.istft(spec, 256, 32, 4064, impl="matmul"))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
+    # and the matmul round-trip still reconstructs the waveform
+    np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-4)
+
+
+def test_matmul_dft_griffin_lim_quality(rng):
+    """Phase recovery through the matmul path reconstructs as well as fft."""
+    import jax
+
+    x = _waveform(rng, (1, 4064))
+    mag = np.abs(nps.stft(x, 256, 32)).astype(np.float32)
+    out_f = np.asarray(jsp.griffin_lim(mag, jax.random.key(0), 256, 32, 4064,
+                                       n_iter=16, impl="fft"))
+    out_m = np.asarray(jsp.griffin_lim(mag, jax.random.key(0), 256, 32, 4064,
+                                       n_iter=16, impl="matmul"))
+    err_f = np.linalg.norm(np.abs(nps.stft(out_f, 256, 32)) - mag)
+    err_m = np.linalg.norm(np.abs(nps.stft(out_m, 256, 32)) - mag)
+    assert err_m < err_f * 1.2 + 1e-3
+
+
+def test_matmul_dft_odd_hop_falls_back(rng):
+    """hop that doesn't divide n_fft uses the fft path under impl=matmul."""
+    x = _waveform(rng, (1, 1000))
+    want = np.asarray(jsp.stft(x, 256, 48, impl="fft"))
+    got = np.asarray(jsp.stft(x, 256, 48, impl="matmul"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)

@@ -14,7 +14,9 @@ parity-tested against it.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -24,35 +26,119 @@ def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
     return (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n, dtype=dtype) / n)).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop"))
-def stft(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """Centered STFT of the last axis.  (..., T) -> (..., n_fft//2+1, n_frames)."""
+# ---- matmul DFT: the MXU path ------------------------------------------------
+#
+# TPU FFTs run on the VPU and small per-frame transforms (n_fft=256) leave
+# the MXU idle; an explicit DFT matrix turns STFT/iSTFT into dense
+# (frames x n_fft) @ (n_fft x bins) matmuls.  13x the FLOPs of an FFT, but
+# the MXU's matmul throughput is >100x the VPU's small-FFT throughput, and
+# framing/overlap-add become pure slicing (no gather/scatter) when
+# hop divides n_fft.  Numerics match the rfft path to ~1e-5 (f32 matmuls).
+
+@lru_cache(maxsize=8)
+def _dft_mats(n_fft: int):
+    """Forward rfft as two real matrices: Re = x@C, Im = x@S."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@lru_cache(maxsize=8)
+def _idft_mats(n_fft: int):
+    """Inverse rfft as two real matrices: x = Re@Ci + Im@Si."""
+    bins = n_fft // 2 + 1
+    k = np.arange(bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    coef = np.full((bins, 1), 2.0)
+    coef[0] = coef[-1] = 1.0
+    ci = (coef * np.cos(ang) / n_fft).astype(np.float32)
+    si = (-coef * np.sin(ang) / n_fft).astype(np.float32)
+    return ci, si
+
+
+def _frame_slices(xp: jax.Array, n_fft: int, hop: int, n_frames: int) -> jax.Array:
+    """(..., T) padded signal -> (..., n_frames, n_fft) frames, slicing only.
+
+    Requires n_fft % hop == 0: with r = n_fft//hop, frame i is the
+    concatenation of hop-sized rows i..i+r-1 of the signal viewed as
+    (T//hop, hop).
+    """
+    r = n_fft // hop
+    rows = xp[..., : (n_frames + r - 1) * hop].reshape(*xp.shape[:-1], n_frames + r - 1, hop)
+    return jnp.concatenate([rows[..., k : k + n_frames, :] for k in range(r)], axis=-1)
+
+
+def _overlap_add_slices(contrib: jax.Array, n_fft: int, hop: int, total: int) -> jax.Array:
+    """(..., n_frames, n_fft) windowed frames -> (..., total) sum, slicing only."""
+    r = n_fft // hop
+    n_frames = contrib.shape[-2]
+    n_rows = total // hop
+    chunks = contrib.reshape(*contrib.shape[:-1], r, hop)  # (..., F, r, hop)
+    out = jnp.zeros((*contrib.shape[:-2], n_rows, hop), contrib.dtype)
+    for k in range(r):
+        out = out.at[..., k : k + n_frames, :].add(chunks[..., :, k, :])
+    return out.reshape(*contrib.shape[:-2], n_rows * hop)
+
+
+def _use_matmul(impl: str) -> bool:
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "matmul"
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "impl"))
+def stft(x: jax.Array, n_fft: int, hop: int, impl: str = "auto") -> jax.Array:
+    """Centered STFT of the last axis.  (..., T) -> (..., n_fft//2+1, n_frames).
+
+    impl: "fft" (jnp.fft.rfft, VPU), "matmul" (DFT matrices on the MXU),
+    or "auto" (matmul on TPU, fft elsewhere).
+    """
     pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     xp = jnp.pad(x, pad)
     n_frames = 1 + (xp.shape[-1] - n_fft) // hop
-    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
-    frames = xp[..., idx]  # (..., n_frames, n_fft)
-    spec = jnp.fft.rfft(frames * hann_window(n_fft, xp.dtype), axis=-1)
+    if _use_matmul(impl) and n_fft % hop == 0:
+        frames = _frame_slices(xp, n_fft, hop, n_frames) * hann_window(n_fft, xp.dtype)
+        c, s = (jnp.asarray(m) for m in _dft_mats(n_fft))
+        # HIGHEST: exact f32 DFT on the MXU (default TPU matmul precision is
+        # bf16-ish, 2e-3 rel err; exact costs +27% and is still 2.3x the fft
+        # path — measured in scripts/profile_griffin_lim.py)
+        mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        spec = jax.lax.complex(mm(frames, c), mm(frames, s))
+    else:
+        idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+        frames = xp[..., idx]  # (..., n_frames, n_fft)
+        spec = jnp.fft.rfft(frames * hann_window(n_fft, xp.dtype), axis=-1)
     return jnp.moveaxis(spec, -1, -2)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "length"))
-def istft(spec: jax.Array, n_fft: int, hop: int, length: int) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_fft", "hop", "length", "impl"))
+def istft(spec: jax.Array, n_fft: int, hop: int, length: int, impl: str = "auto") -> jax.Array:
     """NOLA-normalized inverse STFT.  (..., n_fft//2+1, n_frames) -> (..., length)."""
-    frames = jnp.fft.irfft(jnp.moveaxis(spec, -2, -1), n=n_fft, axis=-1)
-    win = hann_window(n_fft, frames.dtype)
-    n_frames = frames.shape[-2]
-    total = length + n_fft
-    idx = (hop * jnp.arange(n_frames)[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
-    contrib = (frames * win).reshape(frames.shape[:-2] + (-1,))
-    out = jnp.zeros(frames.shape[:-2] + (total,), dtype=frames.dtype)
-    out = out.at[..., idx].add(contrib)
-    norm = jnp.zeros((total,), dtype=frames.dtype).at[idx].add(jnp.tile(win**2, n_frames))
+    spec_t = jnp.moveaxis(spec, -2, -1)  # (..., n_frames, bins)
+    win = hann_window(n_fft, jnp.float32)
+    n_frames = spec_t.shape[-2]
+    total = -(-(length + n_fft) // hop) * hop  # round up for the sliced fold
+    if _use_matmul(impl) and n_fft % hop == 0:
+        ci, si = (jnp.asarray(m) for m in _idft_mats(n_fft))
+        mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        frames = mm(jnp.real(spec_t), ci) + mm(jnp.imag(spec_t), si)
+        out = _overlap_add_slices(frames * win, n_fft, hop, total)
+        norm_frames = jnp.broadcast_to(win**2, (n_frames, n_fft))
+        norm = _overlap_add_slices(norm_frames, n_fft, hop, total)
+    else:
+        frames = jnp.fft.irfft(spec_t, n=n_fft, axis=-1)
+        idx = (hop * jnp.arange(n_frames)[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
+        contrib = (frames * win).reshape(frames.shape[:-2] + (-1,))
+        out = jnp.zeros(frames.shape[:-2] + (total,), dtype=frames.dtype)
+        out = out.at[..., idx].add(contrib)
+        norm = jnp.zeros((total,), dtype=frames.dtype).at[idx].add(jnp.tile(win**2, n_frames))
     norm = jnp.where(norm > 1e-10, norm, 1.0)
     return (out / norm)[..., n_fft // 2 : n_fft // 2 + length]
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "length", "n_iter"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "length", "n_iter", "impl"))
 def griffin_lim(
     mag: jax.Array,
     key: jax.Array,
@@ -62,6 +148,7 @@ def griffin_lim(
     *,
     n_iter: int = 128,
     momentum: float = 0.99,
+    impl: str = "auto",
 ) -> jax.Array:
     """Batched momentum Griffin-Lim, fully on device.
 
@@ -73,11 +160,11 @@ def griffin_lim(
 
     def body(_, carry):
         angles, rebuilt_prev = carry
-        inverse = istft(mag * angles, n_fft, hop, length)
-        rebuilt = stft(inverse, n_fft, hop)
+        inverse = istft(mag * angles, n_fft, hop, length, impl=impl)
+        rebuilt = stft(inverse, n_fft, hop, impl=impl)
         angles = rebuilt - beta * rebuilt_prev
         angles = angles / (jnp.abs(angles) + 1e-16)
         return angles, rebuilt
 
     angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles0, jnp.zeros_like(angles0)))
-    return istft(mag * angles, n_fft, hop, length)
+    return istft(mag * angles, n_fft, hop, length, impl=impl)
