@@ -51,12 +51,13 @@ def main(batch: int = 64, iters: int = 50):
     step = jax.jit(train_step, donate_argnums=(0,))
 
     state, metrics = step(state, batch_data, jax.random.key(4), ae_vars)  # compile
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # scalar fetch: the relay's ready-notifications
+    # can fire early (BENCH_NOTES.md), a fetch cannot
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch_data, jax.random.key(5 + i), ae_vars)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     print(json.dumps({
