@@ -17,9 +17,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-from tqdne_tpu.cli.common import enable_compilation_cache
+from tqdne_tpu.cli.common import enable_compilation_cache, enable_fast_prng
 
 enable_compilation_cache()
+enable_fast_prng()
 
 
 def main(batch: int = 64, iters: int = 50):

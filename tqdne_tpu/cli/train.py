@@ -88,6 +88,7 @@ RECIPES: dict[str, Recipe] = {
 
 def run(recipe_key: str, args):
     common.setup_logging()
+    common.enable_fast_prng()  # +13% train step on TPU (BENCH_NOTES round 2)
     from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
