@@ -149,3 +149,80 @@ def test_stochastic_scan_matches_python_loop():
         x = x_next
 
     np.testing.assert_allclose(np.asarray(got, np.float64), x, rtol=3e-4, atol=3e-5)
+
+
+# ---- DPM-Solver++(2M) (beyond reference) -----------------------------------
+
+
+def _smooth_denoiser(x, sigma):
+    """Nonlinear, smooth, bounded denoiser: both solvers integrate the same
+    probability-flow ODE, so they must converge to the same solution."""
+    from tqdne_tpu.utils.tree import append_dims
+
+    s = append_dims(sigma, x.ndim)
+    return jnp.tanh(x) / (1.0 + 0.1 * s)
+
+
+def test_dpmpp_converges_to_heun():
+    """Both integrate the same ODE: their difference must shrink as the
+    step count grows (distinct 2nd-order discretizations, so a fixed-N
+    difference is expected — convergence is the correctness signal)."""
+    key = jax.random.key(0)
+    shape = (2, 12, 3)
+    eps_unit = jax.random.normal(key, shape, dtype=jnp.float32)
+
+    rels = []
+    for n in (40, 80, 160):
+        sigmas = edm.sampling_sigmas(CFG, n, dtype=jnp.float32)
+        eps = eps_unit * sigmas[0]
+        heun = np.asarray(sampler.heun_deterministic(_smooth_denoiser, eps, sigmas))
+        dpm = np.asarray(sampler.dpmpp_2m(_smooth_denoiser, eps, sigmas))
+        rels.append(np.linalg.norm(dpm - heun) / np.linalg.norm(heun))
+    assert rels[2] < rels[1] < rels[0], rels
+    assert rels[2] < 2e-3, rels
+
+
+def test_dpmpp_beats_heun_at_equal_nfe():
+    """25 NFE: dpmpp_2m(25 steps) should track the fine-grid ODE solution at
+    least as well as heun(13 steps, also 25 evals)."""
+    key = jax.random.key(1)
+    shape = (2, 12, 3)
+    eps_scale = edm.sampling_sigmas(CFG, 10, dtype=jnp.float32)[0]
+    eps = jax.random.normal(key, shape, dtype=jnp.float32) * eps_scale
+
+    ref = np.asarray(
+        sampler.heun_deterministic(
+            _smooth_denoiser, eps, edm.sampling_sigmas(CFG, 201, dtype=jnp.float32)
+        )
+    )
+    dpm25 = np.asarray(
+        sampler.dpmpp_2m(_smooth_denoiser, eps, edm.sampling_sigmas(CFG, 25, dtype=jnp.float32))
+    )
+    heun13 = np.asarray(
+        sampler.heun_deterministic(
+            _smooth_denoiser, eps, edm.sampling_sigmas(CFG, 13, dtype=jnp.float32)
+        )
+    )
+    err_dpm = np.linalg.norm(dpm25 - ref)
+    err_heun = np.linalg.norm(heun13 - ref)
+    assert err_dpm <= err_heun * 1.05, (err_dpm, err_heun)
+
+
+def test_dpmpp_network_eval_count():
+    calls = []
+
+    def counting(x, sigma):
+        calls.append(1)
+        return jnp.zeros_like(x)
+
+    sigmas = edm.sampling_sigmas(CFG, 7, dtype=jnp.float32)
+    eps = jnp.ones((1, 4, 1)) * sigmas[0]
+    jax.make_jaxpr(lambda e: sampler.dpmpp_2m(counting, e, sigmas))(eps)
+    # traced once inside scan: the denoiser appears once per scan body
+    assert len(calls) == 1
+
+    out = sampler.sample(
+        lambda x, s: jnp.zeros_like(x), jax.random.key(0), (1, 4, 1), CFG,
+        num_steps=7, solver="dpmpp_2m",
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -246,7 +246,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     num_steps: int = 25, tiny: bool = False,
                     run_name: str | None = None, ae_name: str | None = None,
                     edm_checkpoint: str | None = None,
-                    autoencoder_checkpoint: str | None = None) -> InferenceBundle:
+                    autoencoder_checkpoint: str | None = None,
+                    solver: str = "heun") -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
     1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
     deriving all shapes from the config + AE."""
@@ -337,7 +338,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                                          num_sampling_steps=num_steps)
 
         def raw_sample(params, ae_vars, key, shape, cond):
-            return sample_fn(params, key, shape, cond=cond, ae_vars=ae_vars)
+            return sample_fn(params, key, shape, cond=cond, ae_vars=ae_vars,
+                             solver=solver)
     elif recipe.kind == "consistency":
         from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 

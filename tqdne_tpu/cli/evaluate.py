@@ -67,6 +67,7 @@ def main(argv=None):
     parser.add_argument("--no-classifier", action="store_true",
                         help="skip classifier embedding/logit datasets")
     parser.add_argument("--num_steps", type=int, default=25)
+    parser.add_argument("--solver", type=str, default="heun", choices=["heun", "dpmpp_2m"])
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -82,7 +83,7 @@ def main(argv=None):
     dtype = common.parse_dtype(args.dtype)
     bundle = common.build_inference(
         args.config, args.workdir, dtype, num_steps=args.num_steps, tiny=args.tiny,
-        run_name=args.name, ae_name=args.ae_name,
+        run_name=args.name, ae_name=args.ae_name, solver=args.solver,
     )
     config, representation = bundle.config, bundle.representation
     run_name = args.name or bundle.recipe.name

@@ -95,6 +95,9 @@ def main(argv=None):
                              "of the published summary table")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_steps", type=int, default=25)
+    parser.add_argument("--solver", type=str, default="heun", choices=["heun", "dpmpp_2m"],
+                        help="heun = reference semantics (2N-1 UNet evals); dpmpp_2m = "
+                             "2nd-order multistep, N evals (~2x faster, beyond reference)")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
@@ -114,6 +117,7 @@ def main(argv=None):
         run_name=args.name, ae_name=args.ae_name,
         edm_checkpoint=args.edm_checkpoint,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
+        solver=args.solver,
     )
     config, representation = bundle.config, bundle.representation
     t_out = bundle.t

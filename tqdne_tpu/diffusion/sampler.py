@@ -104,6 +104,60 @@ def heun_stochastic(
     return x
 
 
+def dpmpp_2m(
+    denoise_fn: DenoiseFn,
+    eps: jax.Array,
+    sigmas: jax.Array,
+    *,
+    model_dtype=jnp.float32,
+) -> jax.Array:
+    """DPM-Solver++(2M) for the EDM probability-flow ODE (beyond reference).
+
+    Second-order *multistep* solver (Lu et al., arXiv 2211.01095, data-
+    prediction variant for the VE/EDM parameterization): reuses the
+    previous step's denoiser output instead of Heun's second evaluation,
+    so N steps cost N network evaluations instead of Heun's 2N-1 —
+    ~2x sampler throughput at the same step count with comparable ODE
+    accuracy (both are order 2).  Deterministic; integrates the same ODE
+    as heun_deterministic (they converge to each other as N grows — see
+    tests/test_sampler.py).
+    """
+    acc_dtype = eps.dtype
+    batch = eps.shape[0]
+
+    def denoise(x, sigma):
+        s = jnp.full((batch,), sigma, dtype=model_dtype)
+        return denoise_fn(x.astype(model_dtype), s).astype(acc_dtype)
+
+    tiny = jnp.asarray(jnp.finfo(acc_dtype).tiny, acc_dtype)
+
+    def lam(sigma):  # lambda = -log sigma; sigma=0 handled via clamp
+        return -jnp.log(jnp.maximum(sigma, tiny))
+
+    def body(carry, sig_pair):
+        x, denoised_prev, h_prev = carry
+        sigma, sigma_next = sig_pair
+        denoised = denoise(x, sigma)
+        h = lam(sigma_next) - lam(sigma)
+        # 2M correction: extrapolate the denoiser with the previous output.
+        # First step has no history (h_prev <= 0 flags it) -> plain DPM++(1).
+        r = h_prev / h
+        # no history on the first step; no correction on the final sigma=0
+        # step (h -> inf there, the coefficient would diverge — same
+        # special case as k-diffusion's sample_dpmpp_2m)
+        use_hist = (h_prev > 0) & (sigma_next > 0)
+        coef = jnp.where(use_hist, 1.0 / (2.0 * jnp.maximum(r, tiny)), 0.0)
+        denoised_d = (1.0 + coef) * denoised - coef * denoised_prev
+        ratio = sigma_next / jnp.maximum(sigma, tiny)
+        x_next = ratio * x - jnp.expm1(-h) * denoised_d
+        return (x_next, denoised, h), None
+
+    sig_pairs = (sigmas[:-1].astype(acc_dtype), sigmas[1:].astype(acc_dtype))
+    init = (eps, jnp.zeros_like(eps), jnp.asarray(-1.0, acc_dtype))
+    (x, _, _), _ = jax.lax.scan(body, init, sig_pairs)
+    return x
+
+
 def sample(
     denoise_fn: DenoiseFn,
     key: jax.Array,
@@ -114,16 +168,24 @@ def sample(
     deterministic: bool = True,
     acc_dtype=jnp.float32,
     model_dtype=jnp.float32,
+    solver: str = "heun",
 ) -> jax.Array:
     """Draw samples by integrating the EDM probability-flow ODE.
 
     jit-safe end to end; equivalent to the dispatch in edm.py:146-169
     (minus the latent encode/decode, which the latent model composes
-    around this).
+    around this).  solver: "heun" (reference semantics, 2N-1 evals) or
+    "dpmpp_2m" (N evals, beyond reference; deterministic only).
     """
     sigmas = sampling_sigmas(cfg, num_steps, dtype=acc_dtype)
     key_eps, key_churn = jax.random.split(key)
     eps = jax.random.normal(key_eps, shape, dtype=acc_dtype) * sigmas[0]
+    if solver == "dpmpp_2m":
+        if not deterministic:
+            raise ValueError("dpmpp_2m is a deterministic solver")
+        return dpmpp_2m(denoise_fn, eps, sigmas, model_dtype=model_dtype)
+    if solver != "heun":
+        raise ValueError(f"unknown solver {solver!r}; use 'heun' or 'dpmpp_2m'")
     if deterministic:
         return heun_deterministic(denoise_fn, eps, sigmas, model_dtype=model_dtype)
     return heun_stochastic(denoise_fn, key_churn, eps, sigmas, cfg, model_dtype=model_dtype)

@@ -121,6 +121,7 @@ def make_edm_steps(
         num_steps: int | None = None,
         acc_dtype=jnp.float32,
         cast_params=None,
+        solver: str = "heun",
     ):
         """EDM Heun sampling; with an AE the given ``shape`` is the *latent*
         shape and the output is decoded to signal space (edm.py:146-169).
@@ -154,6 +155,7 @@ def make_edm_steps(
             num_steps=num_steps or num_sampling_steps,
             deterministic=deterministic_sampling,
             acc_dtype=acc_dtype,
+            solver=solver,
         )
         if latent:
             out = autoencoder.apply(ae_vars, out.astype(jnp.float32), method="decode")
