@@ -23,7 +23,9 @@ enable_compilation_cache()
 enable_fast_prng()
 
 
-def main(batch: int = 64, iters: int = 50):
+def main(batch: int = 128, iters: int = 30):
+    # batch sweep (BENCH_NOTES round 2): 64 -> 1882, 128 -> 2127,
+    # 256 -> 2169 samples/s; 128 is the knee (256 costs 2x memory for +2%)
     from tqdne_tpu import configs
     from tqdne_tpu.models.autoencoder import AutoencoderKL
     from tqdne_tpu.models.unet import UNet
@@ -45,8 +47,11 @@ def main(batch: int = 64, iters: int = 50):
     train_step, _, _ = make_edm_steps(unet, tx, autoencoder=ae)
     state = TrainState.create(params, tx)
 
+    # device-side batch generation: a host->device transfer over ~32 MB
+    # trips the axon relay's payload limit (INVALID_ARGUMENT at 50 MB)
     batch_data = {
-        "signal": jax.random.normal(jax.random.key(3), (batch, 128, 128, 3)),
+        "signal": jax.jit(lambda k: jax.random.normal(k, (batch, 128, 128, 3)))(
+            jax.random.key(3)),
         "cond": jnp.zeros((batch, 5)),
     }
     step = jax.jit(train_step, donate_argnums=(0,))

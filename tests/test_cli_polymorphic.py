@@ -36,6 +36,18 @@ def test_1d_edm_train_generate_evaluate(tmp_path):
         # so only require that the pipeline produced real data
         assert np.isfinite(wf).mean() > 0.5
 
+    # same CLI with the N-eval multistep solver (beyond reference)
+    out2 = tmp_path / "gen_dpmpp.h5"
+    gen.main([
+        "--config", "1d_edm", "--workdir", wd, "--outfile", str(out2),
+        "--num_samples", "2", "--hypocentral_distance", "50", "--magnitude", "5.5",
+        "--vs30", "400", "--hypocentre_depth", "20", "--azimuthal_gap", "100",
+        "--batch_size", "2", "--num_steps", "3", "--tiny", "--dtype", "f32",
+        "--solver", "dpmpp_2m",
+    ])
+    with h5py.File(out2) as f:
+        assert f["waveforms"].shape == (2, 3, 4064)
+
     # --- evaluate the same run (no classifier: spectrogram-only preset) ---
     from tqdne_tpu.cli import evaluate as ev
 

@@ -271,3 +271,42 @@ def test_cond_signal_path(mesh):
                     cond_signal=jax.random.normal(jax.random.key(6), (4, T, 3)),
                     num_steps=2)
     assert out.shape == (4, T, 3)
+
+
+def test_skip_nonfinite_guard(h5path, mesh):
+    """make_optimizer(skip_nonfinite=N): a batch that produces NaN gradients
+    applies a zero update (params unchanged) instead of poisoning the state,
+    and a following clean batch trains normally (SURVEY §5 failure
+    detection, beyond reference)."""
+    unet = UNet(**TINY_UNET)
+    tx = make_optimizer("adam", 1e-3, skip_nonfinite=3)
+    train_step, eval_step, _ = make_edm_steps(unet, tx)
+
+    x = jnp.zeros((1, T, 3))
+    params = unet.init(jax.random.key(0), x, jnp.zeros((1,)), jnp.zeros((1, 5)))
+    state = TrainState.create(params, tx)
+    step = jax.jit(train_step)
+
+    clean = {
+        "signal": jnp.ones((8, T, 3)) * 0.1,
+        "cond": jnp.zeros((8, 5)),
+    }
+    poisoned = {
+        "signal": jnp.full((8, T, 3), jnp.nan),
+        "cond": jnp.zeros((8, 5)),
+    }
+
+    state1, m1 = step(state, poisoned, jax.random.key(1))
+    # loss is NaN (reported) but params did not move
+    assert not np.isfinite(float(m1["loss"]))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state1.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+    state2, m2 = step(state1, clean, jax.random.key(2))
+    assert np.isfinite(float(m2["loss"]))
+    diffs2 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state1.params, state2.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs2)) > 0.0

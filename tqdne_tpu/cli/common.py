@@ -378,6 +378,9 @@ def add_common_args(parser):
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--skip-nonfinite", type=int, default=0, metavar="N",
+                        help="skip (zero-update) steps with NaN/inf gradients, erroring "
+                             "after N consecutive bad steps (0 = off, reference behavior)")
     parser.add_argument("--tiny", action="store_true",
                         help="shrink model widths for smoke/integration runs")
     return parser

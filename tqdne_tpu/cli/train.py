@@ -116,6 +116,7 @@ def run(recipe_key: str, args):
         recipe.optimizer,
         lr_schedule if lr_schedule is not None else recipe.lr,
         weight_decay=recipe.weight_decay,
+        skip_nonfinite=args.skip_nonfinite,
     )
 
     tiny_mc = 32 if args.tiny else None
