@@ -78,3 +78,38 @@ def test_build_inference_rejects_non_samplers(tmp_path):
         common.build_inference("autoencoder", str(tmp_path))
     with pytest.raises(SystemExit):
         common.build_inference("classifier", str(tmp_path))
+
+
+def test_load_classifier_uses_stored_hparams(tmp_path):
+    """A non-default-width classifier checkpoint must restore with its
+    STORED encoder config, not the preset (round-2 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tqdne_tpu import configs
+    from tqdne_tpu.cli.evaluate import load_classifier
+    from tqdne_tpu.models.classifier import Classifier
+    from tqdne_tpu.train.checkpoint import Checkpointer
+
+    cfg = configs.SpectrogramClassificationConfig(workdir=tmp_path)
+    enc = configs.get_classifier_encoder_config(cfg)
+    enc["model_channels"] = 16  # tiny, unlike the preset's default
+    enc["out_channels"] = 32
+    clf = Classifier(encoder_config=enc, num_classes=cfg.num_classes)
+    params = jax.jit(clf.init)(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+
+    rundir = cfg.outputdir / "Classifier-LogSpectrogram" / "checkpoints"
+    ckpt = Checkpointer(rundir)
+    ckpt.save_hyperparameters({"kind": "classifier", "encoder": enc,
+                               "num_classes": cfg.num_classes})
+    ckpt.save(1, {"ema_params": jax.device_get(params)})
+    ckpt.close()
+
+    loaded = load_classifier(str(tmp_path), "Classifier-LogSpectrogram", jnp.float32)
+    assert loaded is not None
+    clf2, variables, enc2, _ = loaded
+    assert enc2["model_channels"] == 16
+    # restored weights apply cleanly at the stored width
+    out = clf2.apply(variables, jnp.zeros((2, 16, 16, 3)))
+    assert np.asarray(out).shape == (2, cfg.num_classes)

@@ -148,7 +148,7 @@ def test_sa_distance_table(rng):
     assert (out["sa"] > 0).all()
     # observed-vs-generated comparison at the SAME intensity measure
     assert out["obs_sa"].shape == (n, 2)
-    assert out["sa_median"].shape == (9, 2)
+    assert out["sa_median"].shape == (10, 2)  # n_bins means n_bins bins
     finite = np.isfinite(out["sa_median"]) & np.isfinite(out["obs_sa_median"])
     assert finite.any()
     np.testing.assert_allclose(

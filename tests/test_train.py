@@ -310,3 +310,61 @@ def test_skip_nonfinite_guard(h5path, mesh):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state1.params, state2.params
     )
     assert max(jax.tree_util.tree_leaves(diffs2)) > 0.0
+
+
+def test_no_resume_allows_architecture_change(h5path, mesh, tmp_path):
+    """fit(resume=False) must start fresh with a different architecture
+    instead of raising on the stored hyperparameters (they get replaced)."""
+    import json
+
+    lt, lv = _loaders(h5path, mesh)
+
+    def make(hp_channels):
+        cfg = dict(TINY_UNET, model_channels=hp_channels)
+        unet = UNet(**cfg)
+        tx = make_optimizer("adam", 1e-3)
+        train_step, eval_step, _ = make_edm_steps(unet, tx)
+        params = unet.init(jax.random.key(0), jnp.zeros((1, T, 3)), jnp.zeros((1,)),
+                           jnp.zeros((1, 5)))
+        state = TrainState.create(params, tx)
+        return train_step, eval_step, state, cfg
+
+    ts, es, state, cfg = make(16)
+    Trainer(ts, es, mesh, tmp_path / "run", max_epochs=1, max_steps=1,
+            hparams={"unet": cfg}).fit(state, lt, resume=False)
+
+    ts2, es2, state2, cfg2 = make(8)
+    # resume=True with a drifted architecture must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Trainer(ts2, es2, mesh, tmp_path / "run", max_epochs=1, max_steps=1,
+                hparams={"unet": cfg2}).fit(state2, lt, resume=True)
+    # resume=False starts fresh and replaces the stored hparams
+    Trainer(ts2, es2, mesh, tmp_path / "run", max_epochs=1, max_steps=1,
+            hparams={"unet": cfg2}).fit(state2, lt, resume=False)
+    stored = json.loads((tmp_path / "run" / "checkpoints" / "hparams.json").read_text())
+    assert stored["unet"]["model_channels"] == 8
+
+
+def test_max_steps_midepoch_progress(h5path, mesh, tmp_path):
+    """A max_steps break mid-epoch must not record the partial epoch as
+    complete (resume would skip its remaining batches)."""
+    import json
+
+    unet = UNet(**TINY_UNET)
+    tx = make_optimizer("adam", 1e-3)
+    train_step, eval_step, _ = make_edm_steps(unet, tx)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, T, 3)), jnp.zeros((1,)),
+                       jnp.zeros((1, 5)))
+    state = TrainState.create(params, tx)
+    lt, lv = _loaders(h5path, mesh)
+    assert len(lt) >= 2
+
+    # stop after 1 step of epoch 0 (epoch incomplete)
+    trainer = Trainer(train_step, eval_step, mesh, tmp_path / "run", max_epochs=3,
+                      max_steps=1)
+    trainer.fit(state, lt, resume=False)
+    progress = json.loads((tmp_path / "run" / "checkpoints" / "progress.json").read_text())
+    assert progress["epoch"] == 0
+    assert progress["step"] == 1

@@ -163,9 +163,10 @@ def load_ae_variables(config, ae_name: str, ae, example_signal_shape):
         stored = ckpt.restore_hyperparameters()
         if stored is not None:
             ckpt.verify_hyperparameters(
-                {"kind": "autoencoder", "dims": stored.get("dims"),
+                {"kind": "autoencoder",
+                 "dims": dict(ae.encoder_config).get("dims"),
                  "encoder": dict(ae.encoder_config), "decoder": dict(ae.decoder_config),
-                 "kl_weight": stored.get("kl_weight")},
+                 "kl_weight": getattr(config, "kl_weight", None)},
                 strict=False,
             )
         restored = ckpt.restore_latest_raw()

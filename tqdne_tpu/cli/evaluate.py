@@ -37,16 +37,28 @@ from tqdne_tpu.train.checkpoint import Checkpointer
 
 
 def load_classifier(workdir: str, name: str, dtype):
-    """(classifier, variables, encoder_config) or None if no checkpoint."""
+    """(classifier, variables, encoder_config) or None if no checkpoint.
+
+    Rebuilds the encoder from the run's STORED hyperparameters when
+    available (load_from_checkpoint semantics) so e.g. --tiny-trained
+    classifiers restore with the right widths; falls back to the preset.
+    """
+    from tqdne_tpu.cli.common import _tuplify
     from tqdne_tpu.models.classifier import Classifier
 
     clf_config = configs.SpectrogramClassificationConfig(workdir=workdir)
-    clf_enc = configs.get_classifier_encoder_config(clf_config)
-    ckptdir = clf_config.outputdir / name / "checkpoints"
-    restored = Checkpointer(ckptdir, create=False).restore_latest_raw()
+    ckpt = Checkpointer(clf_config.outputdir / name / "checkpoints", create=False)
+    restored = ckpt.restore_latest_raw()
     if restored is None:
         return None
-    clf = Classifier(encoder_config=clf_enc, num_classes=clf_config.num_classes, dtype=dtype)
+    stored = ckpt.restore_hyperparameters()
+    if stored is not None and "encoder" in stored:
+        clf_enc = _tuplify(stored["encoder"])
+        num_classes = int(stored.get("num_classes", clf_config.num_classes))
+    else:
+        clf_enc = configs.get_classifier_encoder_config(clf_config)
+        num_classes = clf_config.num_classes
+    clf = Classifier(encoder_config=clf_enc, num_classes=num_classes, dtype=dtype)
     return clf, restored[0]["ema_params"], clf_enc, clf_config
 
 

@@ -92,8 +92,14 @@ def points_in_polygon(lon, lat, polygon) -> np.ndarray:
     return hits.sum(axis=0) % 2 == 1
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _exact_japan_polygon():
-    """OSMnx/shapely path (reference-exact); None when unavailable."""
+    """OSMnx/shapely path (reference-exact); None when unavailable.
+    Cached: classify_onshore is called per record in the preprocessing
+    loop and the geocode fetch/parse must happen at most once."""
     try:  # pragma: no cover - exercised only in full envs with network
         import osmnx as ox
 

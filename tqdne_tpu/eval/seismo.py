@@ -271,7 +271,7 @@ def sa_distance(
     periods = list(periods)
     sa = sa_rotd(wf_ns, wf_ew, dt, periods, percentile=percentile)
     out = {"periods": periods, "rhyp": np.asarray(rhyp), "sa": sa}
-    edges = np.linspace(bin_range[0], bin_range[1], n_bins)
+    edges = np.linspace(bin_range[0], bin_range[1], n_bins + 1)  # n_bins bins
     out["bin_centers"], out["sa_median"], out["sa_p16"], out["sa_p84"] = (
         _distance_binned_percentiles(sa, rhyp, edges)
     )

@@ -73,7 +73,12 @@ class AttentionBlock(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas == "auto":
-            use_pallas = length >= 256 and head_dim <= 128
+            import jax
+
+            # the Pallas kernel lowers on TPU (interpret mode covers CPU
+            # tests); other backends (GPU, ...) keep the einsum path
+            backend_ok = jax.default_backend() in ("tpu", "cpu")
+            use_pallas = backend_ok and length >= 256 and head_dim <= 128
         if use_pallas:
             from tqdne_tpu.ops.flash_attention import flash_attention
 

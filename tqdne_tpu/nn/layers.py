@@ -100,9 +100,10 @@ class Norm32(nn.Module):
     ``silu=True`` appends the activation.  Three implementations, all with
     identical parameter paths (<scope>/GroupNorm_0/{scale,bias}) so
     checkpoints are interchangeable:
-    - "lanes" (default): spatial-first statistics that keep channels on
-      the TPU lane dimension (group_norm_lanes above);
-    - "flax": plain flax GroupNorm (the round-1 path, kept for A/B);
+    - "flax" (default): plain flax GroupNorm — measured fastest end-to-end
+      (196 vs 181 wf/s, see comment below);
+    - "lanes": spatial-first statistics that keep channels on the TPU
+      lane dimension (group_norm_lanes above), kept for A/B;
     - ``use_pallas=True``: fused Pallas kernel (tqdne_tpu.ops.group_norm)
       — measured slower end-to-end (breaks XLA conv fusion), kept as a
       counter-example.

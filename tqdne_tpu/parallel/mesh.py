@@ -44,13 +44,21 @@ def maybe_initialize_distributed():
                                  "MEGASCALE_COORDINATOR_ADDRESS") if k in os.environ),
         None,
     )
-    if addr is None:
-        return
-    kwargs = {"coordinator_address": addr}
-    if "JAX_NUM_PROCESSES" in os.environ:
-        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-    if "JAX_PROCESS_ID" in os.environ:
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    kwargs = {}
+    if addr is not None:
+        kwargs["coordinator_address"] = addr
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    else:
+        # no explicit coordinator: only attempt jax's own cluster
+        # auto-detection when a multi-process launcher is evident (TPU pod
+        # env, Slurm, Open MPI) — a plain single-host run must stay a no-op
+        markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_NUM_SLICES",
+                   "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")
+        if not any(k in os.environ for k in markers):
+            return
     try:
         jax.distributed.initialize(**kwargs)
     except Exception as e:  # pragma: no cover

@@ -117,11 +117,10 @@ class Trainer:
         self.root_key = jax.random.key(seed)
         self.writer = MetricWriter(self.workdir, project=project, use_wandb=use_wandb)
         self.checkpointer = Checkpointer(self.workdir / "checkpoints")
-        if hparams is not None:
-            # self-describing checkpoints (reference save_hyperparameters,
-            # edm.py:103): refuse to silently resume a drifted architecture
-            if not self.checkpointer.verify_hyperparameters(hparams, strict=True):
-                self.checkpointer.save_hyperparameters(hparams)
+        # self-describing checkpoints (reference save_hyperparameters,
+        # edm.py:103): verified/persisted in fit(), where resume intent is
+        # known — a resume=False run may legitimately change architecture
+        self.hparams = hparams
 
         repl = replicated(mesh)
         bshard = batch_sharding(mesh)
@@ -161,6 +160,15 @@ class Trainer:
         rather than copy them.  Do not reuse ``state`` (or the params it
         was created from) after calling fit — use the returned state.
         """
+        if self.hparams is not None:
+            if resume:
+                # refuse to silently resume a drifted architecture
+                matched = self.checkpointer.verify_hyperparameters(self.hparams, strict=True)
+            else:
+                matched = False  # fresh run: the new architecture wins
+            if not matched and jax.process_index() == 0:  # one writer (multi-host)
+                self.checkpointer.save_hyperparameters(self.hparams)
+
         start_epoch = 0
         if resume:
             restored = self.checkpointer.restore_latest(state)
@@ -177,6 +185,7 @@ class Trainer:
         gstep = int(jax.device_get(state.step))
         t_train = 0.0
 
+        hit_max = False
         for epoch in range(start_epoch, self.max_epochs):
             pending: list[tuple[int, dict]] = []
             for batch in train_loader:
@@ -205,7 +214,13 @@ class Trainer:
                 else:
                     t_train += time.perf_counter() - t0
                 if self.max_steps is not None and gstep >= self.max_steps:
+                    hit_max = True
                     break
+
+            # a max_steps break mid-epoch leaves the epoch incomplete: record
+            # the last *finished* epoch so resume replays the partial epoch
+            # instead of skipping its remaining batches
+            epochs_done = epoch if hit_max else epoch + 1
 
             if pending:  # flush the epoch's tail so short epochs still log
                 last_step, last_metrics = pending[-1]
@@ -221,16 +236,16 @@ class Trainer:
             for cb in self.callbacks:
                 cb(self, state, epoch, gstep)
 
-            if (epoch + 1) % self.checkpoint_every_epochs == 0:
+            if (epoch + 1) % self.checkpoint_every_epochs == 0 or hit_max:
                 self.checkpointer.save(gstep, jax.device_get(state), metrics=val_metrics or None)
-                self._write_progress(epoch + 1, gstep)
+                self._write_progress(epochs_done, gstep)
 
-            if self.max_steps is not None and gstep >= self.max_steps:
+            if hit_max:
                 break
 
         self.checkpointer.save(gstep, jax.device_get(state))
         if "epoch" in locals():
-            self._write_progress(epoch + 1, gstep)
+            self._write_progress(epochs_done, gstep)
         return state
 
     def validate(self, state, val_loader, gstep: int) -> dict:
