@@ -156,3 +156,80 @@ def test_matmul_dft_odd_hop_falls_back(rng):
     want = np.asarray(jsp.stft(x, 256, 48, impl="fft"))
     got = np.asarray(jsp.stft(x, 256, 48, impl="matmul"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+# ---- device-side FORWARD representations (ops/representation.py) ------------
+
+
+def test_device_log_spectrogram_matches_host(rng):
+    from tqdne_tpu.ops.representation import log_spectrogram_representation
+
+    wf = _waveform(rng)  # (2, 3, 4064) channels-first
+    host = rep.LogSpectrogram(hop_size=32).get_representation(wf)
+    dev = log_spectrogram_representation(jnp_moveaxis(wf))
+    got = np.moveaxis(np.asarray(dev), -1, 1)
+    assert got.shape == host.shape == (2, 3, 128, 128)
+    np.testing.assert_allclose(got, host, rtol=1e-3, atol=2e-4)
+
+
+def test_device_envelope_matches_host(rng):
+    from tqdne_tpu.ops.representation import envelope_representation
+
+    wf = _waveform(rng)
+    host = rep.MovingAverageEnvelope().get_representation(wf)
+    dev = envelope_representation(jnp_moveaxis(wf))
+    got = np.moveaxis(np.asarray(dev), -1, 1)
+    assert got.shape == host.shape == (2, 6, 4064)
+    np.testing.assert_allclose(got, host, rtol=1e-3, atol=1e-3)
+
+
+def test_device_representation_fn_dispatch():
+    from tqdne_tpu.ops.representation import device_representation_fn
+
+    assert device_representation_fn(rep.MovingAverageEnvelope()) is not None
+    assert device_representation_fn(rep.LogSpectrogram()) is not None
+    assert device_representation_fn(rep.Normalization(1.0, 2.0)) is None
+    ident = device_representation_fn(rep.Identity())
+    x = np.ones((1, 8, 3), np.float32)
+    np.testing.assert_array_equal(np.asarray(ident(x)), x)
+
+
+def jnp_moveaxis(wf_cf):
+    import jax.numpy as jnp
+
+    return jnp.moveaxis(jnp.asarray(wf_cf, jnp.float32), 1, -1)
+
+
+def test_device_representation_in_train_step(rng):
+    """make_edm_steps(device_representation=...): training on raw waveforms
+    gives the same loss as training on host-computed signals."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tqdne_tpu.models.unet import UNet
+    from tqdne_tpu.ops.representation import device_representation_fn
+    from tqdne_tpu.train.state import TrainState
+    from tqdne_tpu.train.steps import make_edm_steps
+
+    host_rep = rep.MovingAverageEnvelope(window_size=16)
+    wf = _waveform(rng, (4, 3, 256))
+    signal = host_rep.get_representation(wf)
+
+    unet = UNet(in_channels=6, out_channels=6, model_channels=8, num_res_blocks=1,
+                attention_resolutions=(), channel_mult=(1, 2), conv_kernel_size=5,
+                dims=1, cond_features=None, num_heads=1, dropout=0.0)
+    tx = optax.adam(1e-3)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, 256, 6)), jnp.zeros((1,)), None)
+    dev_fn = device_representation_fn(host_rep)
+
+    ts_host, _, _ = make_edm_steps(unet, tx)
+    ts_dev, _, _ = make_edm_steps(unet, tx, device_representation=dev_fn)
+
+    batch_host = {"signal": jnp.moveaxis(jnp.asarray(signal), 1, -1)}
+    batch_dev = {"waveform": jnp_moveaxis(wf)}
+    key = jax.random.key(7)
+    _, m_host = jax.jit(ts_host)(TrainState.create(params, tx), batch_host, key)
+    _, m_dev = jax.jit(ts_dev)(TrainState.create(params, tx), batch_dev, key)
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
+                               rtol=1e-4)

@@ -106,10 +106,17 @@ def ensure_dataset(config, synthetic_n: int | None):
 
 
 def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | None = None,
-                 keys=("signal", "cond", "waveform")):
+                 keys=("signal", "cond", "waveform"), host_representation: bool = True):
+    """``host_representation=False``: the datasets ship raw waveforms only
+    (Identity in place of the representation — the device computes the
+    signal inside the train step, ops/representation.py); the returned
+    representation object is still the real one for inversion/eval."""
+    from tqdne_tpu.data import representation as rep_mod
+
     representation = config.make_representation()
-    ds_train = Dataset(config.datapath, representation, cut=config.t, cond=cond, split="train")
-    ds_val = Dataset(config.datapath, representation, cut=config.t, cond=cond, split="validation")
+    ds_rep = representation if host_representation else rep_mod.Identity()
+    ds_train = Dataset(config.datapath, ds_rep, cut=config.t, cond=cond, split="train")
+    ds_val = Dataset(config.datapath, ds_rep, cut=config.t, cond=cond, split="validation")
     sharding = batch_sharding(mesh)
     n_dev = mesh.devices.size
     vb = val_batch or max(n_dev, min(batch_size, (len(ds_val) // n_dev) * n_dev or n_dev))
@@ -379,6 +386,10 @@ def add_common_args(parser):
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device-representation", action="store_true",
+                        help="compute the signal representation on the accelerator inside "
+                             "the train step (loader ships raw waveforms; removes the host "
+                             "CPU bottleneck for LogSpectrogram/MovingAverageEnvelope)")
     parser.add_argument("--skip-nonfinite", type=int, default=0, metavar="N",
                         help="skip (zero-update) steps with NaN/inf gradients, erroring "
                              "after N consecutive bad steps (0 = off, reference behavior)")

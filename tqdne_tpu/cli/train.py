@@ -107,8 +107,23 @@ def run(recipe_key: str, args):
     if recipe.kind == "classifier":
         return _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir)
 
+    device_rep = None
+    if getattr(args, "device_representation", False):
+        if recipe.kind != "edm":
+            raise SystemExit("--device-representation is supported for EDM recipes")
+        from tqdne_tpu.ops.representation import device_representation_fn
+
+        device_rep = device_representation_fn(config.make_representation())
+        if device_rep is None:
+            raise SystemExit(
+                f"no device transform for {type(config.make_representation()).__name__}"
+            )
+
     train_loader, val_loader, representation = common.make_loaders(
-        config, batch, cond=recipe.cond, mesh=mesh
+        config, batch, cond=recipe.cond, mesh=mesh,
+        host_representation=device_rep is None,
+        keys=("waveform", "cond") if device_rep is not None
+        else ("signal", "cond", "waveform"),
     )
     max_steps = args.max_steps or epochs * len(train_loader)
     lr_schedule = cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else None
@@ -169,7 +184,9 @@ def run(recipe_key: str, args):
         if recipe.kind == "edm":
             from tqdne_tpu.train.steps import make_edm_steps
 
-            train_step, eval_step, sample_fn = make_edm_steps(unet, tx, autoencoder=ae)
+            train_step, eval_step, sample_fn = make_edm_steps(
+                unet, tx, autoencoder=ae, device_representation=device_rep
+            )
         elif recipe.kind == "consistency":
             from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 
@@ -199,7 +216,7 @@ def run(recipe_key: str, args):
 
         def cb_sample(params, key, batch_host):
             cond = jnp.asarray(batch_host["cond"]) if "cond" in batch_host else None
-            n = len(batch_host["signal"])
+            n = len(batch_host.get("signal", batch_host["waveform"]))
             if n not in _cb_jit_cache:  # jit once per batch size (avoid retracing)
                 if recipe.kind == "edm" and recipe.latent:
                     _cb_jit_cache[n] = jax.jit(

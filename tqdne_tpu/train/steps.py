@@ -55,8 +55,15 @@ def make_edm_steps(
     ema_decay: float = 0.999,
     num_sampling_steps: int = 25,
     deterministic_sampling: bool = True,
+    device_representation=None,
 ):
     """Returns (train_step, eval_step, sample_fn).
+
+    ``device_representation`` (optional): a jax transform (channels-last
+    waveform -> signal, ops/representation.py) applied INSIDE the jitted
+    step — the loader then ships raw waveforms and the host never computes
+    the representation (the reference does this in DataLoader workers,
+    which bottlenecks TPU-rate training).
 
     If ``autoencoder`` is given, diffusion runs in its latent space: the
     train step encodes the signal with the *frozen* AE params (passed per
@@ -69,9 +76,14 @@ def make_edm_steps(
     def _encode(ae_vars, x, key):
         return autoencoder.apply(ae_vars, x, method="encode", rngs={"sample": key})
 
+    def _signal(batch):
+        if device_representation is not None:
+            return device_representation(batch["waveform"])
+        return batch["signal"]
+
     def _loss(params, batch, key, ae_vars):
         key_ae, key_ae2, key_edm, key_drop = jax.random.split(key, 4)
-        sample = batch["signal"]
+        sample = _signal(batch)
         cond = batch.get("cond")
         cond_signal = batch.get("cond_signal")
         if latent:
@@ -95,7 +107,7 @@ def make_edm_steps(
         """Validation loss with EMA params (the reference swaps EMA in for
         every val/test/predict; ema.py:30-48)."""
         key_ae, key_ae2, key_edm, _ = jax.random.split(key, 4)
-        sample = batch["signal"]
+        sample = _signal(batch)
         cond = batch.get("cond")
         cond_signal = batch.get("cond_signal")
         if latent:
