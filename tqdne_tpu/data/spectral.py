@@ -15,6 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # scipy's pocketfft wrapper runs float32 natively and is ~20x numpy's
+    # (which upcasts through float64) on this class of host — same math
+    from scipy import fft as _fft
+except ImportError:  # pragma: no cover
+    _fft = np.fft
+
 
 def hann_window(n: int) -> np.ndarray:
     """Periodic Hann window (matches scipy get_window('hann', n, fftbins=True))."""
@@ -30,14 +36,14 @@ def stft(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = xp[..., idx]  # (..., n_frames, n_fft)
     win = hann_window(n_fft).astype(xp.dtype if xp.dtype.kind == "f" else np.float64)
-    spec = np.fft.rfft(frames * win, axis=-1)  # (..., n_frames, n_fft//2+1)
+    spec = _fft.rfft(frames * win, axis=-1)  # (..., n_frames, n_fft//2+1)
     return np.moveaxis(spec, -1, -2)  # (..., freq, time)
 
 
 def istft(spec: np.ndarray, n_fft: int, hop: int, length: int) -> np.ndarray:
     """NOLA-normalized inverse STFT.  ``spec`` is (..., n_fft//2+1, n_frames)."""
     spec = np.moveaxis(np.asarray(spec), -2, -1)  # (..., n_frames, freq)
-    frames = np.fft.irfft(spec, n=n_fft, axis=-1)  # (..., n_frames, n_fft)
+    frames = _fft.irfft(spec, n=n_fft, axis=-1)  # (..., n_frames, n_fft)
     win = hann_window(n_fft)
     n_frames = frames.shape[-2]
     total = length + n_fft  # padded length used at analysis
