@@ -47,12 +47,28 @@ def istft(spec: np.ndarray, n_fft: int, hop: int, length: int) -> np.ndarray:
     win = hann_window(n_fft)
     n_frames = frames.shape[-2]
     total = length + n_fft  # padded length used at analysis
-    out = np.zeros(spec.shape[:-2] + (total,), dtype=frames.dtype)
-    norm = np.zeros(total, dtype=np.float64)
-    for t in range(n_frames):
-        s = t * hop
-        out[..., s : s + n_fft] += frames[..., t, :] * win
-        norm[s : s + n_fft] += win**2
+    contrib = frames * win
+    if n_fft % hop == 0:
+        # vectorized fold: frame i chunk k (hop samples) lands on row i+k of
+        # the output viewed as (total//hop, hop) — r shifted adds, no loop
+        r = n_fft // hop
+        total_r = -(-total // hop) * hop
+        chunks = contrib.reshape(*contrib.shape[:-1], r, hop)
+        out = np.zeros(contrib.shape[:-2] + (total_r // hop, hop), dtype=frames.dtype)
+        wchunks = (win**2).reshape(r, hop)
+        norm = np.zeros((total_r // hop, hop))
+        for k in range(r):
+            out[..., k : k + n_frames, :] += chunks[..., :, k, :]
+            norm[k : k + n_frames, :] += wchunks[k]
+        out = out.reshape(*contrib.shape[:-2], total_r)[..., :total]
+        norm = norm.reshape(total_r)[:total]
+    else:
+        out = np.zeros(spec.shape[:-2] + (total,), dtype=frames.dtype)
+        norm = np.zeros(total, dtype=np.float64)
+        for t in range(n_frames):
+            s = t * hop
+            out[..., s : s + n_fft] += contrib[..., t, :]
+            norm[s : s + n_fft] += win**2
     norm = np.where(norm > 1e-10, norm, 1.0)
     out = out / norm
     return out[..., n_fft // 2 : n_fft // 2 + length]
