@@ -78,7 +78,7 @@ def main(argv=None):
     parser.add_argument("--classifier-name", type=str, default="Classifier-LogSpectrogram")
     parser.add_argument("--no-classifier", action="store_true",
                         help="skip classifier embedding/logit datasets")
-    parser.add_argument("--num_steps", type=int, default=25)
+    parser.add_argument("--num_steps", "--num-steps", type=int, default=25)
     parser.add_argument("--solver", type=str, default="heun", choices=["heun", "dpmpp_2m"])
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--limit-batches", type=int, default=None)

@@ -74,7 +74,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser("tqdne-generate-waveforms", description=__doc__)
     for k in FEATURES:
         parser.add_argument(f"--{k}", type=float, default=None)
-    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--num_samples", "--num-samples", type=int, default=None)
     parser.add_argument("--csv", type=str, default=None)
     parser.add_argument("--outfile", type=str, required=True)
     parser.add_argument("--workdir", type=str, default=None,
@@ -93,8 +93,8 @@ def main(argv=None):
                         help="normalize conditioning with the workdir dataset's feature "
                              "statistics (experiments/generate.py:82-106 behavior) instead "
                              "of the published summary table")
-    parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--num_steps", type=int, default=25)
+    parser.add_argument("--batch_size", "--batch-size", type=int, default=32)
+    parser.add_argument("--num_steps", "--num-steps", type=int, default=25)
     parser.add_argument("--solver", type=str, default="heun", choices=["heun", "dpmpp_2m"],
                         help="heun = reference semantics (2N-1 UNet evals); dpmpp_2m = "
                              "2nd-order multistep, N evals (~2x faster, beyond reference)")
