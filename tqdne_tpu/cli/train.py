@@ -119,11 +119,31 @@ def run(recipe_key: str, args):
                 f"no device transform for {type(config.make_representation()).__name__}"
             )
 
+    cached_latents = getattr(args, "cached_latents", False)
+    lat_path = None
+    if cached_latents:
+        if not (recipe.latent and recipe.kind == "edm"):
+            raise SystemExit("--cached-latents needs a latent EDM recipe")
+        from tqdne_tpu.cli.precompute_latents import latents_path
+
+        lat_path = latents_path(config, recipe.ae_name)
+        if not lat_path.exists():
+            raise SystemExit(
+                f"{lat_path} not found — run `tqdne-precompute-latents --workdir "
+                f"{args.workdir} --config {recipe_key}` first"
+            )
+
+    if cached_latents:
+        loader_keys = ("latent_mean", "latent_log_std", "cond", "waveform")
+    elif device_rep is not None:
+        loader_keys = ("waveform", "cond")
+    else:
+        loader_keys = ("signal", "cond", "waveform")
+
     train_loader, val_loader, representation = common.make_loaders(
         config, batch, cond=recipe.cond, mesh=mesh,
-        host_representation=device_rep is None,
-        keys=("waveform", "cond") if device_rep is not None
-        else ("signal", "cond", "waveform"),
+        host_representation=device_rep is None and not cached_latents,
+        keys=loader_keys, latents_path=lat_path,
     )
     max_steps = args.max_steps or epochs * len(train_loader)
     lr_schedule = cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else None
@@ -185,7 +205,8 @@ def run(recipe_key: str, args):
             from tqdne_tpu.train.steps import make_edm_steps
 
             train_step, eval_step, sample_fn = make_edm_steps(
-                unet, tx, autoencoder=ae, device_representation=device_rep
+                unet, tx, autoencoder=ae, device_representation=device_rep,
+                latent_moments=cached_latents,
             )
         elif recipe.kind == "consistency":
             from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps

@@ -111,6 +111,39 @@ class Dataset:
         return {k: v[0] for k, v in batch.items()}
 
 
+class CachedLatentsDataset(Dataset):
+    """Dataset whose batches carry precomputed frozen-AE latent moments
+    (latents-<ae_name>.h5 written by tqdne-precompute-latents) instead of
+    host-computed signals — the train step samples the latent directly
+    (train/steps.py latent_moments mode).  Rows of the sidecar align with
+    the dataset's storage order, so the same split indices apply."""
+
+    def __init__(self, datapath, latents_path, representation, *, cut=None,
+                 cond: bool = True, split: str = "train"):
+        import h5py
+
+        super().__init__(datapath, representation, cut=cut, cond=cond, split=split)
+        self.latents_file = h5py.File(latents_path, "r", locking=False)
+        n_lat = self.latents_file["latent_mean"].shape[0]
+        n_wf = self.file["waveforms"].shape[0]
+        if n_lat != n_wf:
+            raise ValueError(
+                f"latents file has {n_lat} rows but the dataset has {n_wf} — "
+                "re-run tqdne-precompute-latents after rebuilding the dataset"
+            )
+
+    def load_batch(self, batch_indices: np.ndarray) -> dict:
+        out = super().load_batch(batch_indices)
+        file_idx = self.indices[batch_indices]
+        order = np.argsort(file_idx)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        uniq, uinv = np.unique(file_idx[order], return_inverse=True)
+        out["latent_mean"] = self.latents_file["latent_mean"][uniq][uinv][inv]
+        out["latent_log_std"] = self.latents_file["latent_log_std"][uniq][uinv][inv]
+        return out
+
+
 class ClassificationDataset(Dataset):
     """Magnitude x distance bin labels (dataset.py:86-112 parity):
     label = dist_bin * (n_mag_bins - 1) + mag_bin."""

@@ -56,8 +56,16 @@ def make_edm_steps(
     num_sampling_steps: int = 25,
     deterministic_sampling: bool = True,
     device_representation=None,
+    latent_moments: bool = False,
 ):
     """Returns (train_step, eval_step, sample_fn).
+
+    ``latent_moments=True`` (latent mode only): batches carry precomputed
+    frozen-AE moments ("latent_mean"/"latent_log_std", written by
+    tqdne-precompute-latents) and the step samples the latent directly —
+    the encoder forward (deterministic per sample, recomputed every step
+    by the reference) disappears from the hot loop: 60.2 -> 46.0 ms/step
+    on the flagship (BENCH_NOTES round 2).
 
     ``device_representation`` (optional): a jax transform (channels-last
     waveform -> signal, ops/representation.py) applied INSIDE the jitted
@@ -72,6 +80,8 @@ def make_edm_steps(
     """
 
     latent = autoencoder is not None
+    if latent_moments and not latent:
+        raise ValueError("latent_moments requires an autoencoder (for decode)")
 
     def _encode(ae_vars, x, key):
         return autoencoder.apply(ae_vars, x, method="encode", rngs={"sample": key})
@@ -81,15 +91,25 @@ def make_edm_steps(
             return device_representation(batch["waveform"])
         return batch["signal"]
 
+    def _latent_from_moments(batch, key):
+        mean, log_std = batch["latent_mean"], batch["latent_log_std"]
+        eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        return mean + eps * jnp.exp(log_std)
+
     def _loss(params, batch, key, ae_vars):
         key_ae, key_ae2, key_edm, key_drop = jax.random.split(key, 4)
-        sample = _signal(batch)
         cond = batch.get("cond")
         cond_signal = batch.get("cond_signal")
-        if latent:
-            sample = _encode(ae_vars, sample, key_ae)
+        if latent_moments:
             if cond_signal is not None:
-                cond_signal = _encode(ae_vars, cond_signal, key_ae2)
+                raise ValueError("cached latents do not support cond_signal pairs")
+            sample = _latent_from_moments(batch, key_ae)
+        else:
+            sample = _signal(batch)
+            if latent:
+                sample = _encode(ae_vars, sample, key_ae)
+                if cond_signal is not None:
+                    cond_signal = _encode(ae_vars, cond_signal, key_ae2)
 
         def net_apply(x, noise_cond, c):
             return unet.apply(params, x, noise_cond, c, train=True, rngs={"dropout": key_drop})
@@ -107,13 +127,16 @@ def make_edm_steps(
         """Validation loss with EMA params (the reference swaps EMA in for
         every val/test/predict; ema.py:30-48)."""
         key_ae, key_ae2, key_edm, _ = jax.random.split(key, 4)
-        sample = _signal(batch)
         cond = batch.get("cond")
         cond_signal = batch.get("cond_signal")
-        if latent:
-            sample = _encode(ae_vars, sample, key_ae)
-            if cond_signal is not None:
-                cond_signal = _encode(ae_vars, cond_signal, key_ae2)
+        if latent_moments:
+            sample = _latent_from_moments(batch, key_ae)
+        else:
+            sample = _signal(batch)
+            if latent:
+                sample = _encode(ae_vars, sample, key_ae)
+                if cond_signal is not None:
+                    cond_signal = _encode(ae_vars, cond_signal, key_ae2)
 
         def net_apply(x, noise_cond, c):
             return unet.apply(state.ema_params, x, noise_cond, c)
