@@ -64,3 +64,17 @@ def test_precompute_and_train_cached_latents(tmp_path):
     # the untrained tiny AE's log_std is large so the loss is huge — but the
     # cached-latents step must run and produce finite numbers
     assert losses and np.isfinite(losses).all()
+
+    # 4) staleness guard: a sidecar from different AE weights must refuse
+    import gc
+
+    ds.close()
+    gc.collect()  # drop the training run's read handles before reopening r+
+    with h5py.File(lat_path, "r+", locking=False) as f:
+        f.attrs["ae_fingerprint"] = 0.0
+    with pytest.raises(SystemExit, match="different AE weights"):
+        train_cli.main([
+            "1d_latent_edm", "--workdir", wd, "--max-epochs", "1", "-b", "8",
+            "--eval-every", "99", "--tiny", "--dtype", "f32", "--cached-latents",
+            "--no-resume",
+        ])

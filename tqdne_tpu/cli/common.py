@@ -106,8 +106,8 @@ def ensure_dataset(config, synthetic_n: int | None):
 
 
 def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | None = None,
-                 keys=("signal", "cond", "waveform"), host_representation: bool = True,
-                 latents_path=None):
+                 keys=("signal", "cond", "waveform"), val_keys=None,
+                 host_representation: bool = True, latents_path=None):
     """``host_representation=False``: the datasets ship raw waveforms only
     (Identity in place of the representation — the device computes the
     signal inside the train step, ops/representation.py); the returned
@@ -134,7 +134,8 @@ def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | 
     vb = val_batch or max(n_dev, min(batch_size, (len(ds_val) // n_dev) * n_dev or n_dev))
     train_loader = BatchLoader(ds_train, batch_size, sharding=sharding, keys=keys)
     val_loader = BatchLoader(
-        ds_val, vb, shuffle=False, drop_last=True, sharding=sharding, keys=keys
+        ds_val, vb, shuffle=False, drop_last=True, sharding=sharding,
+        keys=val_keys if val_keys is not None else keys,
     )
     return train_loader, val_loader, representation
 

@@ -29,6 +29,14 @@ def latents_path(config, ae_name: str):
     return config.datapath.parent / f"latents-{ae_name}.h5"
 
 
+def ae_fingerprint(ae_vars) -> float:
+    """Cheap exact-weights fingerprint: the sidecar must be regenerated
+    whenever the AE weights change (same architecture, retrained weights
+    would otherwise silently shift the latent space)."""
+    leaves = jax.tree_util.tree_leaves(ae_vars)
+    return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
+
+
 def run(args):
     import h5py
 
@@ -77,6 +85,8 @@ def run(args):
                 mean_ds = dst.create_dataset("latent_mean", (n, *m.shape[1:]), np.float32)
                 std_ds = dst.create_dataset("latent_log_std", (n, *m.shape[1:]), np.float32)
                 dst.attrs["ae_name"] = ae_name
+                dst.attrs["dtype"] = args.dtype
+                dst.attrs["ae_fingerprint"] = ae_fingerprint(ae_vars)
             mean_ds[s : s + len(m)] = m
             std_ds[s : s + len(m)] = ls
             done += len(m)
@@ -91,7 +101,9 @@ def main(argv=None):
                         help="latent recipe name: latent_edm, 1d_latent_edm")
     parser.add_argument("--ae-name", type=str, default=None)
     parser.add_argument("-b", "--batch", type=int, default=64)
-    parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
+    # f32 default: the encode runs ONCE — exactness beats speed here (bf16
+    # moments would quietly degrade an f32 cached-latents training run)
+    parser.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"])
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
     common.setup_logging()

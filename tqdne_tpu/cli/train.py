@@ -104,13 +104,18 @@ def run(recipe_key: str, args):
     workdir = config.outputdir / recipe.name
     sig_shape = common.signal_shape(config)
 
+    # EDM-only flags must error loudly on every other recipe, including the
+    # classifier (no silent no-ops)
+    device_rep = None
+    if getattr(args, "device_representation", False) and recipe.kind != "edm":
+        raise SystemExit("--device-representation is supported for EDM recipes")
+    if getattr(args, "cached_latents", False) and not (recipe.latent and recipe.kind == "edm"):
+        raise SystemExit("--cached-latents needs a latent EDM recipe")
+
     if recipe.kind == "classifier":
         return _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir)
 
-    device_rep = None
     if getattr(args, "device_representation", False):
-        if recipe.kind != "edm":
-            raise SystemExit("--device-representation is supported for EDM recipes")
         from tqdne_tpu.ops.representation import device_representation_fn
 
         device_rep = device_representation_fn(config.make_representation())
@@ -122,8 +127,6 @@ def run(recipe_key: str, args):
     cached_latents = getattr(args, "cached_latents", False)
     lat_path = None
     if cached_latents:
-        if not (recipe.latent and recipe.kind == "edm"):
-            raise SystemExit("--cached-latents needs a latent EDM recipe")
         from tqdne_tpu.cli.precompute_latents import latents_path
 
         lat_path = latents_path(config, recipe.ae_name)
@@ -134,16 +137,19 @@ def run(recipe_key: str, args):
             )
 
     if cached_latents:
-        loader_keys = ("latent_mean", "latent_log_std", "cond", "waveform")
+        # train batches need only moments + cond; the sampling callback's
+        # val batches also need waveform targets
+        loader_keys = ("latent_mean", "latent_log_std", "cond")
+        val_keys = ("latent_mean", "latent_log_std", "cond", "waveform")
     elif device_rep is not None:
-        loader_keys = ("waveform", "cond")
+        loader_keys = val_keys = ("waveform", "cond")
     else:
-        loader_keys = ("signal", "cond", "waveform")
+        loader_keys = val_keys = ("signal", "cond", "waveform")
 
     train_loader, val_loader, representation = common.make_loaders(
         config, batch, cond=recipe.cond, mesh=mesh,
         host_representation=device_rep is None and not cached_latents,
-        keys=loader_keys, latents_path=lat_path,
+        keys=loader_keys, val_keys=val_keys, latents_path=lat_path,
     )
     max_steps = args.max_steps or epochs * len(train_loader)
     lr_schedule = cosine_annealing(recipe.lr, max_steps) if recipe.optimizer != "radam" else None
@@ -180,6 +186,22 @@ def run(recipe_key: str, args):
             ae, _, _ = common.build_autoencoder(config, recipe.dims, dtype,
                                                 model_channels=tiny_mc)
             ae_vars = common.load_ae_variables(config, recipe.ae_name, ae, sig_shape)
+            if cached_latents:
+                # the sidecar must come from THESE weights: same-architecture
+                # retrains would silently shift the latent space otherwise
+                import h5py
+
+                from tqdne_tpu.cli.precompute_latents import ae_fingerprint
+
+                with h5py.File(lat_path, "r", locking=False) as lf:
+                    stored_fp = float(lf.attrs.get("ae_fingerprint", float("nan")))
+                fp = ae_fingerprint(ae_vars)
+                if not np.isfinite(stored_fp) or abs(stored_fp - fp) > 1e-3 * max(abs(fp), 1.0):
+                    raise SystemExit(
+                        f"{lat_path} was computed from different AE weights "
+                        f"(fingerprint {stored_fp} != {fp}) — re-run "
+                        "tqdne-precompute-latents"
+                    )
             latent = ae.apply(
                 ae_vars, jnp.zeros((1, *sig_shape)), method="encode",
                 rngs={"sample": jax.random.key(0)},

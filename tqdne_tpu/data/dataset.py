@@ -45,6 +45,17 @@ def split_indices(n: int, split: str, seed: int = 42) -> np.ndarray:
     raise ValueError(f"Unknown split {split}")
 
 
+def _row_gather(file_idx: np.ndarray):
+    """h5py slab-read plan for arbitrary row indices: returns
+    (uniq, restore) where ``dset[uniq][restore]`` yields rows in the
+    requested order (h5py requires strictly increasing unique indices)."""
+    order = np.argsort(file_idx)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    uniq, uinv = np.unique(file_idx[order], return_inverse=True)
+    return uniq, uinv[inv]
+
+
 class Dataset:
     """Seismic waveform dataset (dataset.py:7-83 parity)."""
 
@@ -85,15 +96,9 @@ class Dataset:
         then restores the requested order.  Representation is applied
         vectorized over the whole batch.
         """
-        file_idx = self.indices[batch_indices]
-        order = np.argsort(file_idx)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        sorted_idx = file_idx[order]
-        # h5py requires strictly increasing unique indices
-        uniq, uinv = np.unique(sorted_idx, return_inverse=True)
-        waveforms = self.waveforms[uniq][uinv][inv]
-        valid = self.file["indices_valid_waveforms"][uniq][uinv][inv]
+        uniq, restore = _row_gather(self.indices[batch_indices])
+        waveforms = self.waveforms[uniq][restore]
+        valid = self.file["indices_valid_waveforms"][uniq][restore]
         if self.cut:
             waveforms = waveforms[:, :, : self.cut]
         signal = self.representation.get_representation(waveforms)
@@ -103,7 +108,7 @@ class Dataset:
             "valid_index": np.asarray(valid, dtype=np.int32),
         }
         if self.use_conditioning:
-            out["cond"] = self.cond[uniq][uinv][inv].astype(np.float32)
+            out["cond"] = self.cond[uniq][restore].astype(np.float32)
         return out
 
     def __getitem__(self, index: int) -> dict:
@@ -132,15 +137,15 @@ class CachedLatentsDataset(Dataset):
                 "re-run tqdne-precompute-latents after rebuilding the dataset"
             )
 
+    def close(self):
+        super().close()
+        self.latents_file.close()
+
     def load_batch(self, batch_indices: np.ndarray) -> dict:
         out = super().load_batch(batch_indices)
-        file_idx = self.indices[batch_indices]
-        order = np.argsort(file_idx)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        uniq, uinv = np.unique(file_idx[order], return_inverse=True)
-        out["latent_mean"] = self.latents_file["latent_mean"][uniq][uinv][inv]
-        out["latent_log_std"] = self.latents_file["latent_log_std"][uniq][uinv][inv]
+        uniq, restore = _row_gather(self.indices[batch_indices])
+        out["latent_mean"] = self.latents_file["latent_mean"][uniq][restore]
+        out["latent_log_std"] = self.latents_file["latent_log_std"][uniq][restore]
         return out
 
 

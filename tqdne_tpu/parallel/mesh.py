@@ -53,11 +53,17 @@ def maybe_initialize_distributed():
             kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     else:
         # no explicit coordinator: only attempt jax's own cluster
-        # auto-detection when a multi-process launcher is evident (TPU pod
-        # env, Slurm, Open MPI) — a plain single-host run must stay a no-op
-        markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_NUM_SLICES",
-                   "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")
-        if not any(k in os.environ for k in markers):
+        # auto-detection when a MULTI-worker launcher is evident.  Presence
+        # of TPU env alone is not enough — single-host TPU clients (axon
+        # included) set TPU_WORKER_HOSTNAMES with one host.
+        tpu_hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        multi = (
+            len(tpu_hosts) > 1
+            or int(os.environ.get("MEGASCALE_NUM_SLICES", "1") or 1) > 1
+            or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+            or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1
+        )
+        if not multi:
             return
     try:
         jax.distributed.initialize(**kwargs)

@@ -130,6 +130,8 @@ def make_edm_steps(
         cond = batch.get("cond")
         cond_signal = batch.get("cond_signal")
         if latent_moments:
+            if cond_signal is not None:
+                raise ValueError("cached latents do not support cond_signal pairs")
             sample = _latent_from_moments(batch, key_ae)
         else:
             sample = _signal(batch)
