@@ -107,11 +107,14 @@ def stft(x: jax.Array, n_fft: int, hop: int, impl: str = "auto") -> jax.Array:
     xp = jnp.pad(x, pad)
     n_frames = 1 + (xp.shape[-1] - n_fft) // hop
     if _use_matmul(impl) and n_fft % hop == 0:
+        # frames by slicing+concat, then one wide (n_fft-deep) DFT matmul.
+        # (A conv formulation with r hop-deep taps avoids the concat but
+        # lowers to K=hop matmuls that underutilize the MXU — measured
+        # 134 vs 92 ms for GL(128); the concat is the cheaper evil.)
+        # HIGHEST: exact f32 (default TPU matmul precision is bf16-ish,
+        # 2e-3 rel err; exact costs +27% and still wins end-to-end).
         frames = _frame_slices(xp, n_fft, hop, n_frames) * hann_window(n_fft, xp.dtype)
         c, s = (jnp.asarray(m) for m in _dft_mats(n_fft))
-        # HIGHEST: exact f32 DFT on the MXU (default TPU matmul precision is
-        # bf16-ish, 2e-3 rel err; exact costs +27% and is still 2.3x the fft
-        # path — measured in scripts/profile_griffin_lim.py)
         mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
         spec = jax.lax.complex(mm(frames, c), mm(frames, s))
     else:
