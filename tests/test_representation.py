@@ -233,3 +233,14 @@ def test_device_representation_in_train_step(rng):
     _, m_dev = jax.jit(ts_dev)(TrainState.create(params, tx), batch_dev, key)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
                                rtol=1e-4)
+
+
+def test_matmul_istft_non_divisible_length(rng):
+    """length % hop != 0: the pad-sum fold rounds the working buffer up and
+    must still reconstruct exactly."""
+    x = _waveform(rng, (2, 1000))
+    spec = np.asarray(jsp.stft(x, 256, 32, impl="fft")).astype(np.complex64)
+    want = np.asarray(jsp.istft(spec, 256, 32, 1000, impl="fft"))
+    got = np.asarray(jsp.istft(spec, 256, 32, 1000, impl="matmul"))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-4)
