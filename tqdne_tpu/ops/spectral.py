@@ -96,13 +96,8 @@ def _use_matmul(impl: str) -> bool:
     return impl == "matmul"
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "impl"))
-def stft(x: jax.Array, n_fft: int, hop: int, impl: str = "auto") -> jax.Array:
-    """Centered STFT of the last axis.  (..., T) -> (..., n_fft//2+1, n_frames).
-
-    impl: "fft" (jnp.fft.rfft, VPU), "matmul" (DFT matrices on the MXU),
-    or "auto" (matmul on TPU, fft elsewhere).
-    """
+def _stft_fm(x: jax.Array, n_fft: int, hop: int, impl: str) -> jax.Array:
+    """Frames-major STFT: (..., T) -> (..., n_frames, bins)."""
     pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     xp = jnp.pad(x, pad)
     n_frames = 1 + (xp.shape[-1] - n_fft) // hop
@@ -116,18 +111,24 @@ def stft(x: jax.Array, n_fft: int, hop: int, impl: str = "auto") -> jax.Array:
         frames = _frame_slices(xp, n_fft, hop, n_frames) * hann_window(n_fft, xp.dtype)
         c, s = (jnp.asarray(m) for m in _dft_mats(n_fft))
         mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-        spec = jax.lax.complex(mm(frames, c), mm(frames, s))
-    else:
-        idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
-        frames = xp[..., idx]  # (..., n_frames, n_fft)
-        spec = jnp.fft.rfft(frames * hann_window(n_fft, xp.dtype), axis=-1)
-    return jnp.moveaxis(spec, -1, -2)
+        return jax.lax.complex(mm(frames, c), mm(frames, s))
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    frames = xp[..., idx]  # (..., n_frames, n_fft)
+    return jnp.fft.rfft(frames * hann_window(n_fft, xp.dtype), axis=-1)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "length", "impl"))
-def istft(spec: jax.Array, n_fft: int, hop: int, length: int, impl: str = "auto") -> jax.Array:
-    """NOLA-normalized inverse STFT.  (..., n_fft//2+1, n_frames) -> (..., length)."""
-    spec_t = jnp.moveaxis(spec, -2, -1)  # (..., n_frames, bins)
+@partial(jax.jit, static_argnames=("n_fft", "hop", "impl"))
+def stft(x: jax.Array, n_fft: int, hop: int, impl: str = "auto") -> jax.Array:
+    """Centered STFT of the last axis.  (..., T) -> (..., n_fft//2+1, n_frames).
+
+    impl: "fft" (jnp.fft.rfft, VPU), "matmul" (DFT matrices on the MXU),
+    or "auto" (matmul on TPU, fft elsewhere).
+    """
+    return jnp.moveaxis(_stft_fm(x, n_fft, hop, impl), -1, -2)
+
+
+def _istft_fm(spec_t: jax.Array, n_fft: int, hop: int, length: int, impl: str) -> jax.Array:
+    """Frames-major inverse STFT: (..., n_frames, bins) -> (..., length)."""
     win = hann_window(n_fft, jnp.float32)
     n_frames = spec_t.shape[-2]
     total = -(-(length + n_fft) // hop) * hop  # round up for the sliced fold
@@ -149,6 +150,12 @@ def istft(spec: jax.Array, n_fft: int, hop: int, length: int, impl: str = "auto"
     return (out / norm)[..., n_fft // 2 : n_fft // 2 + length]
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "length", "impl"))
+def istft(spec: jax.Array, n_fft: int, hop: int, length: int, impl: str = "auto") -> jax.Array:
+    """NOLA-normalized inverse STFT.  (..., n_fft//2+1, n_frames) -> (..., length)."""
+    return _istft_fm(jnp.moveaxis(spec, -2, -1), n_fft, hop, length, impl)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "length", "n_iter", "impl"))
 def griffin_lim(
     mag: jax.Array,
@@ -165,17 +172,24 @@ def griffin_lim(
 
     ``mag`` is (..., n_fft//2+1, n_frames); all leading axes are batched.
     """
-    phase0 = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=jnp.float32)
+    # iterate in frames-major layout: the matmul DFT is frames-major
+    # natively, so the loop carries no per-iteration transposes.  The phase
+    # init is drawn in the public bins-major layout so the trajectory is
+    # identical to the pre-refactor implementation for a given key.
+    mag_fm = jnp.moveaxis(mag, -2, -1)  # (..., n_frames, bins)
+    phase0 = jnp.moveaxis(
+        2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=jnp.float32), -2, -1
+    )
     angles0 = jax.lax.complex(jnp.cos(phase0), jnp.sin(phase0))
     beta = momentum / (1 + momentum)
 
     def body(_, carry):
         angles, rebuilt_prev = carry
-        inverse = istft(mag * angles, n_fft, hop, length, impl=impl)
-        rebuilt = stft(inverse, n_fft, hop, impl=impl)
+        inverse = _istft_fm(mag_fm * angles, n_fft, hop, length, impl)
+        rebuilt = _stft_fm(inverse, n_fft, hop, impl)
         angles = rebuilt - beta * rebuilt_prev
         angles = angles / (jnp.abs(angles) + 1e-16)
         return angles, rebuilt
 
     angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles0, jnp.zeros_like(angles0)))
-    return istft(mag * angles, n_fft, hop, length, impl=impl)
+    return _istft_fm(mag_fm * angles, n_fft, hop, length, impl)
