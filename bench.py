@@ -12,13 +12,20 @@ The reference publishes no throughput numbers (BASELINE.json.published
 = {}), so vs_baseline is reported against an internally recorded
 first-measurement anchor if present (BENCH_ANCHOR.json), else 1.0.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "waveforms/sec/chip", "vs_baseline": N}
+Output contract (round-2 lesson: the driver's budget expired before the
+round-2 bench printed anything, BENCH_r02.json rc=124):
+  - the HEADLINE Heun JSON is measured first and printed IMMEDIATELY
+    (flushed), before any secondary program compiles;
+  - secondary metrics (dpmpp_2m, end-to-end Griffin-Lim) run only while
+    a wall-clock budget allows, each fenced in try/except;
+  - the headline JSON is re-printed as the LAST line — the line the
+    driver parses — so any overrun or secondary failure cannot lose it.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -28,6 +35,29 @@ import jax.numpy as jnp
 from tqdne_tpu.cli.common import enable_compilation_cache
 
 enable_compilation_cache()
+
+# secondaries run only while total elapsed stays under this (seconds);
+# the round-1 bench (headline only) completed in ~75 s cold-with-cache
+BUDGET = float(os.environ.get("TQDNE_BENCH_BUDGET", "150"))
+T0 = time.perf_counter()
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T0
+
+
+def emit(metric: str, value: float, vs_baseline: float = 1.0):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": "waveforms/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 def build_sampler(batch: int):
@@ -69,17 +99,14 @@ def build_sampler(batch: int):
             lambda key: run_dpmpp(params, ae_vars, key))
 
 
-def build_e2e(batch: int):
-    """Sampling + VAE decode + on-device Griffin-Lim phase recovery to
-    3x4064 waveforms — the full user-facing generation path (the headline
-    metric matches the reference's semantics where inversion is
-    caller-side, SURVEY §3.2; this variant includes it)."""
-    import numpy as np
-
+def build_invert(batch: int):
+    """On-device Griffin-Lim phase recovery: signal -> 3x4064 waveforms.
+    Combined with the sampler this is the full user-facing generation path
+    (the headline metric matches the reference's semantics where inversion
+    is caller-side, SURVEY §3.2; the e2e secondary includes it)."""
     from tqdne_tpu import configs
     from tqdne_tpu.ops import spectral as jspectral
 
-    run_sample, _ = build_sampler(batch)
     cfg = configs.LatentSpectrogramConfig(workdir=".")
     rep = cfg.make_representation()
     log_clip, log_max, ceiling = rep.log_clip, rep.log_max, rep.log_spec_ceiling
@@ -93,12 +120,7 @@ def build_e2e(batch: int):
         mag = jnp.concatenate([mag, jnp.zeros_like(mag[..., :1, :])], axis=-2)
         return jspectral.griffin_lim(mag, key, rep.n_fft, rep.hop, t, n_iter=rep.n_iter)
 
-    def run(key):
-        sig = run_sample(key)
-        return invert(sig, key)
-
-    del np
-    return run
+    return invert
 
 
 def main():
@@ -125,45 +147,6 @@ def main():
 
     wps = batch * iters / dt
 
-    # secondary metric: the DPM-Solver++(2M) sampler (N evals vs Heun's
-    # 2N-1; beyond reference — the headline stays Heun for reference-
-    # semantics comparability)
-    out = run_dpmpp(jax.random.key(50))
-    float(out.sum())
-    t0 = time.perf_counter()
-    for i in range(3):
-        out = run_dpmpp(jax.random.key(51 + i))
-    float(out.sum())
-    dpmpp_wps = batch * 3 / (time.perf_counter() - t0)
-    print(json.dumps({
-        "metric": "sampled_waveforms_per_sec_per_chip_dpmpp2m_latent2d",
-        "value": round(dpmpp_wps, 3),
-        "unit": "waveforms/sec/chip",
-        "vs_baseline": 1.0,
-    }))
-
-    # secondary metric: end-to-end to waveforms (sampling + decode +
-    # on-device Griffin-Lim x128).  Printed first; the headline metric
-    # stays the LAST line for the driver's parser.
-    run_e2e = build_e2e(batch)
-    out = run_e2e(jax.random.key(100))
-    float(out.sum())
-    t0 = time.perf_counter()
-    for i in range(3):
-        out = run_e2e(jax.random.key(101 + i))
-    float(out.sum())
-    e2e_wps = batch * 3 / (time.perf_counter() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_waveforms_per_sec_per_chip_incl_griffin_lim",
-                "value": round(e2e_wps, 3),
-                "unit": "waveforms/sec/chip",
-                "vs_baseline": 1.0,
-            }
-        )
-    )
-
     anchor_path = Path(__file__).parent / "BENCH_ANCHOR.json"
     vs_baseline = 1.0
     if anchor_path.exists():
@@ -175,16 +158,46 @@ def main():
             json.dumps({"value": wps, "note": "first recorded measurement (anchor)"})
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "sampled_waveforms_per_sec_per_chip_edm_heun_latent2d",
-                "value": round(wps, 3),
-                "unit": "waveforms/sec/chip",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+    headline = ("sampled_waveforms_per_sec_per_chip_edm_heun_latent2d", wps, vs_baseline)
+    emit(*headline)  # early print: never lose the headline to an overrun
+
+    # secondary: DPM-Solver++(2M) (N evals vs Heun's 2N-1; beyond reference —
+    # the headline stays Heun for reference-semantics comparability)
+    if elapsed() < BUDGET:
+        try:
+            out = run_dpmpp(jax.random.key(50))
+            float(out.sum())
+            t0 = time.perf_counter()
+            for i in range(3):
+                out = run_dpmpp(jax.random.key(51 + i))
+            float(out.sum())
+            emit("sampled_waveforms_per_sec_per_chip_dpmpp2m_latent2d",
+                 batch * 3 / (time.perf_counter() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# dpmpp secondary failed: {e}", flush=True)
+
+    # secondary: end-to-end to waveforms (sampling + decode + on-device
+    # Griffin-Lim x128)
+    if elapsed() < BUDGET:
+        try:
+            invert = build_invert(batch)
+
+            def run_e2e(key):
+                return invert(run(key), key)
+
+            out = run_e2e(jax.random.key(100))
+            float(out.sum())
+            t0 = time.perf_counter()
+            for i in range(3):
+                out = run_e2e(jax.random.key(101 + i))
+            float(out.sum())
+            emit("e2e_waveforms_per_sec_per_chip_incl_griffin_lim",
+                 batch * 3 / (time.perf_counter() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# e2e secondary failed: {e}", flush=True)
+
+    # LAST line = the headline — the one the driver parses
+    emit(*headline)
 
 
 if __name__ == "__main__":

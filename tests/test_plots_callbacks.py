@@ -36,6 +36,46 @@ def test_asd_plot(waveforms):
     assert fig is not None
 
 
+def test_waveform_gallery_grid(waveforms):
+    pred, target, *_ = waveforms
+    # 2 events x 6 samples each, observed = first two targets
+    fig = P.WaveformGalleryGrid(fs=100, channel=0, samples_per_event=6)(
+        pred[:12], target[:2], event_labels=["M5.0 d=40km", "M6.2 d=110km"]
+    )
+    assert fig is not None
+    assert len(fig.axes) == 2
+
+
+def test_lognormal_likelihood_matrix_discriminates(rng):
+    """Matched generated IMs score a higher likelihood than a shifted set."""
+    n = 400
+    mag = rng.uniform(4, 8, n)
+    dist = rng.uniform(0, 200, n)
+    obs = np.exp(rng.standard_normal(n))
+    matched = np.exp(rng.standard_normal(n))
+    shifted = matched * 100.0
+    bins_m, bins_d = [4, 6, 8], [0, 100, 200]
+    good = P.lognormal_likelihood_matrix(obs, matched, mag, dist, bins_m, bins_d)
+    bad = P.lognormal_likelihood_matrix(obs, shifted, mag, dist, bins_m, bins_d)
+    assert np.isfinite(good).all()
+    assert (good > bad).all()
+
+
+def test_cumulative_probability_plot(rng):
+    n = 300
+    mag = rng.uniform(4, 8, n)
+    dist = rng.uniform(0, 200, n)
+    obs_im = np.exp(rng.standard_normal(n))
+    gen_im = np.exp(rng.standard_normal(n))
+    plot = P.CumulativeProbabilityPlot(mag_bins=[4, 6, 8], dist_bins=[0, 100, 200])
+    fig = plot(gen_im, obs_im, mag=mag, dist=dist)
+    assert fig is not None
+    # three-panel variant with a GMM matrix
+    gmm = np.ones((2, 2))
+    fig3 = plot(gen_im, obs_im, mag=mag, dist=dist, gmm_matrix=gmm)
+    assert len(fig3.axes) >= 3
+
+
 def test_bin_plot(waveforms):
     pred, target, mag, dist = waveforms
     plot = P.BinPlot(MeanSquaredError(channel=0), mag_bins=[4, 6, 9], dist_bins=[0, 100, 200])

@@ -37,7 +37,7 @@ from tqdne_tpu.train.checkpoint import Checkpointer
 
 
 def load_classifier(workdir: str, name: str, dtype):
-    """(classifier, variables, encoder_config) or None if no checkpoint.
+    """(classifier, variables, encoder_config, clf_config) or None if no checkpoint.
 
     Rebuilds the encoder from the run's STORED hyperparameters when
     available (load_from_checkpoint semantics) so e.g. --tiny-trained

@@ -29,12 +29,25 @@ def latents_path(config, ae_name: str):
     return config.datapath.parent / f"latents-{ae_name}.h5"
 
 
-def ae_fingerprint(ae_vars) -> float:
-    """Cheap exact-weights fingerprint: the sidecar must be regenerated
-    whenever the AE weights change (same architecture, retrained weights
-    would otherwise silently shift the latent space)."""
-    leaves = jax.tree_util.tree_leaves(ae_vars)
-    return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
+def ae_fingerprint(ae_vars) -> str:
+    """Collision-resistant exact-weights fingerprint: the sidecar must be
+    regenerated whenever the AE weights change (same architecture,
+    retrained weights would otherwise silently shift the latent space).
+    SHA-256 over every leaf's tree path, shape, and deterministic byte
+    slices (head/tail elements as float32) — unlike a sum of |w|, not
+    invariant to permutations or sign flips."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for path, leaf in sorted(
+        jax.tree_util.tree_flatten_with_path(ae_vars)[0], key=lambda kv: str(kv[0])
+    ):
+        arr = np.asarray(leaf, dtype=np.float32).ravel()
+        h.update(str(path).encode())
+        h.update(str(np.shape(leaf)).encode())
+        h.update(arr[:64].tobytes())
+        h.update(arr[-64:].tobytes())
+    return h.hexdigest()
 
 
 def run(args):

@@ -194,9 +194,9 @@ def run(recipe_key: str, args):
                 from tqdne_tpu.cli.precompute_latents import ae_fingerprint
 
                 with h5py.File(lat_path, "r", locking=False) as lf:
-                    stored_fp = float(lf.attrs.get("ae_fingerprint", float("nan")))
+                    stored_fp = str(lf.attrs.get("ae_fingerprint", ""))
                 fp = ae_fingerprint(ae_vars)
-                if not np.isfinite(stored_fp) or abs(stored_fp - fp) > 1e-3 * max(abs(fp), 1.0):
+                if stored_fp != fp:
                     raise SystemExit(
                         f"{lat_path} was computed from different AE weights "
                         f"(fingerprint {stored_fp} != {fp}) — re-run "

@@ -254,24 +254,83 @@ def make_synthetic_dataset(
     seed: int = 0,
 ) -> Path:
     """Write a small synthetic preprocessed_waveforms.h5 honoring the
-    storage contract — used by tests, benchmarks and smoke training."""
+    storage contract — used by tests, benchmarks, smoke training AND the
+    committed quality-loop demonstration (docs/quality).
+
+    Unlike a pure-noise fixture, the waveforms carry a real conditioning
+    structure (physically-inspired, not a simulation), so conditional
+    generation is actually testable: a model must learn feature->waveform
+    relationships for per-bin FID / classifier-accuracy / distance-residual
+    evaluation to come out non-trivial.  Encoded dependencies:
+      - P onset fixed at 5 s (reference traces are aligned on P within a
+        2-7 s window, scripts/preprocessing/04_filter_waveforms.py), S
+        arrives dist*(1/3.5-1/6) s later (S-P time ~ distance);
+      - log-amplitude ~ 0.8*mag - 1.2*log10(dist) + 0.4*log10(760/vs30)
+        (GMM-like magnitude scaling / geometric spreading / site term);
+      - corner frequency decreases with magnitude and with distance (Q
+        attenuation), so spectra shift with the conditioning;
+      - duration grows with magnitude and distance;
+      - channel roles: P is polarized to the vertical (ch 2), S to the
+        horizontals (ch 0, 1).
+    """
     import h5py
 
     rng = np.random.default_rng(seed)
-    tt = np.linspace(0, t / 100.0, t, dtype=np.float32)
-    freqs = rng.uniform(0.5, 10.0, (n, channels, 1)).astype(np.float32)
-    onset = rng.uniform(3.0, 8.0, (n, 1, 1)).astype(np.float32)
-    envelope = np.exp(-((tt[None, None, :] - onset - 5.0) ** 2) / 20.0)
-    waveforms = (
-        np.sin(2 * np.pi * freqs * tt[None, None, :]) * envelope
-        + 0.01 * rng.standard_normal((n, channels, t))
-    ).astype(np.float32)
+    fs = 100.0
+    tt = np.arange(t, dtype=np.float32) / fs
 
     dist = rng.uniform(10, 200, n).astype(np.float32)
     mag = rng.uniform(4.5, 7.5, n).astype(np.float32)
     vs30 = rng.uniform(200, 800, n).astype(np.float32)
     depth = rng.uniform(2, 100, n).astype(np.float32)
     azgap = rng.uniform(30, 330, n).astype(np.float32)
+
+    p_onset = 5.0 + rng.uniform(-1.0, 1.0, n).astype(np.float32)  # P-aligned traces
+    s_onset = p_onset + dist * np.float32(1 / 3.5 - 1 / 6.0)  # S-P time ~ dist
+    log_amp = 0.8 * (mag - 6.0) - 1.2 * np.log10(dist / 100.0) + 0.4 * np.log10(760.0 / vs30)
+    amp = (10.0 ** log_amp).astype(np.float32)
+    # corner frequency: bigger events and longer paths are richer in lows
+    fc = (10.0 ** (1.1 - 0.3 * (mag - 4.5) - 0.2 * np.log10(dist / 30.0))).astype(np.float32)
+    tau_p = (0.5 + 0.4 * (mag - 4.5)).astype(np.float32)  # burst durations (s)
+    tau_s = (1.5 + 1.2 * (mag - 4.5) + 0.015 * dist).astype(np.float32)
+
+    def burst_envelope(onset, tau):
+        # Brune-like u*exp(1-u) rise/decay, zero before onset; (n, 1, t)
+        u = np.maximum(tt[None, :] - onset[:, None], 0.0) / tau[:, None]
+        return (u * np.exp(1.0 - u)).astype(np.float32)[:, None, :]
+
+    freqs_r = np.fft.rfftfreq(t, d=1 / fs).astype(np.float32)
+
+    from scipy import fft as sfft
+
+    def shaped_noise(fc_row, seed_noise):
+        # white noise low-passed at the per-trace corner frequency (2-pole)
+        # with a 0.1 Hz causal-highpass-like rolloff; (n, channels, t)
+        spec = sfft.rfft(seed_noise.astype(np.float32), axis=-1, workers=-1)
+        lowpass = 1.0 / (1.0 + (freqs_r[None, None, :] / fc_row[:, None, None]) ** 2)
+        highpass = (freqs_r[None, None, :] / 0.1) ** 2
+        highpass = highpass / (1.0 + highpass)
+        spec *= (lowpass * highpass).astype(np.float32)
+        return sfft.irfft(spec, n=t, axis=-1, workers=-1).astype(np.float32)
+
+    waveforms = np.empty((n, channels, t), np.float32)
+    # channel polarization: P mostly vertical (last ch), S mostly horizontal
+    s_pol = np.ones(channels, np.float32)
+    p_pol = np.full(channels, 0.3, np.float32)
+    if channels >= 3:
+        s_pol[-1], p_pol[-1] = 0.4, 1.0
+    for s in range(0, n, 1024):  # chunked: rfft of the full array is ~GBs
+        e = min(s + 1024, n)
+        p_wave = shaped_noise(2.5 * fc[s:e], rng.standard_normal((e - s, channels, t)))
+        s_wave = shaped_noise(fc[s:e], rng.standard_normal((e - s, channels, t)))
+        tr = (
+            0.35 * p_pol[None, :, None] * burst_envelope(p_onset[s:e], tau_p[s:e]) * p_wave
+            + s_pol[None, :, None] * burst_envelope(s_onset[s:e], tau_s[s:e]) * s_wave
+        )
+        rms = np.sqrt(np.mean(tr**2, axis=(1, 2), keepdims=True)) + 1e-12
+        waveforms[s:e] = amp[s:e, None, None] * tr / rms
+    waveforms += 0.002 * rng.standard_normal((n, channels, t)).astype(np.float32)
+
     feats = np.stack([dist, mag, vs30, depth, azgap], axis=1)
     norm_feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-8)
 

@@ -15,30 +15,39 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 
 import numpy as np
-from scipy import linalg
 
 from tqdne_tpu.data.representation import Representation
 
 
-def frechet_distance(x: np.ndarray, y: np.ndarray, isotropic: bool = False, eps: float = 1e-6):
-    """Frechet distance between Gaussians fit to two sample sets (metric.py:13-42)."""
-    mu_x, mu_y = x.mean(0), y.mean(0)
+def _psd_sqrt(mat: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigendecomposition (negative
+    eigenvalues from sampling noise are clipped to zero)."""
+    vals, vecs = np.linalg.eigh(mat)
+    return (vecs * np.sqrt(np.clip(vals, 0.0, None))) @ vecs.T
+
+
+def frechet_distance(x: np.ndarray, y: np.ndarray, isotropic: bool = False) -> float:
+    """Squared 2-Wasserstein distance between Gaussians fitted to two
+    sample sets (capability parity with /root/reference/tqdne/metric.py's
+    full + isotropic variants).
+
+    The cross term trace(sqrt(Cx Cy)) is evaluated in the symmetrized
+    eigenvalue form sum(sqrt(eig(Cx^1/2 Cy Cx^1/2))), which stays in real
+    arithmetic for PSD covariances — no complex matrix-sqrt fallback
+    needed.
+    """
+    x = np.asarray(x, np.float64).reshape(len(x), -1)
+    y = np.asarray(y, np.float64).reshape(len(y), -1)
+    dmu = x.mean(0) - y.mean(0)
     if isotropic:
-        return float(np.sum((mu_x - mu_y) ** 2) + np.sum((x.std(0) - y.std(0)) ** 2))
+        return float(dmu @ dmu + np.sum((x.std(0) - y.std(0)) ** 2))
 
     cov_x = np.cov(x, rowvar=False)
     cov_y = np.cov(y, rowvar=False)
-    covmean, _ = linalg.sqrtm(cov_x @ cov_y, disp=False)
-    if not np.isfinite(covmean).all():
-        offset = np.eye(cov_x.shape[0]) * eps
-        covmean = linalg.sqrtm((cov_x + offset) @ (cov_y + offset))
-    if np.iscomplexobj(covmean):
-        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-            raise ValueError(f"Imaginary component {np.max(np.abs(covmean.imag))}")
-        covmean = covmean.real
-    return float(
-        np.sum((mu_x - mu_y) ** 2) + np.trace(cov_x) + np.trace(cov_y) - 2 * np.trace(covmean)
-    )
+    rx = _psd_sqrt(cov_x)
+    cross_eigs = np.linalg.eigvalsh(rx @ cov_y @ rx)
+    gm_trace = np.sqrt(np.clip(cross_eigs, 0.0, None)).sum()
+    return float(dmu @ dmu + np.trace(cov_x) + np.trace(cov_y) - 2.0 * gm_trace)
 
 
 class Metric(ABC):

@@ -70,6 +70,15 @@ def maybe_initialize_distributed():
     except Exception as e:  # pragma: no cover
         import logging
 
+        if "coordinator_address" in kwargs:
+            # the user EXPLICITLY configured a multi-host launch; degrading
+            # into N independent single-host trainings would silently
+            # corrupt the run — fail loudly instead
+            raise SystemExit(
+                f"jax.distributed init failed with explicit coordinator "
+                f"{kwargs['coordinator_address']!r}: {e} (set JAX_NUM_PROCESSES/"
+                f"JAX_PROCESS_ID, or unset JAX_COORDINATOR_ADDRESS for single-host)"
+            ) from e
         logging.getLogger("tqdne_tpu").warning("jax.distributed init failed: %s", e)
 
 

@@ -34,7 +34,9 @@ class MetricWriter:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._file = open(self.path, "a")
         self._wandb = None
-        if use_wandb:
+        # one wandb run per training run: init only on process 0 (mirrors
+        # the write() guard; N hosts would otherwise create N duplicate runs)
+        if use_wandb and jax.process_index() == 0:
             try:
                 import wandb
 
