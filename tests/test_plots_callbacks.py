@@ -193,3 +193,72 @@ def test_callback_bin_grid_plots(tmp_path, rng):
     assert any("Bin" in n for n in pngs), pngs
     assert any("MovingAverageEnvelopeGrid" in n for n in pngs), pngs
     assert any("AmplitudeSpectralDensityGrid" in n for n in pngs), pngs
+
+
+def test_callback_repeated_failures_surface(tmp_path, rng):
+    """A metric that fails every eval must raise after N consecutive
+    failures instead of scrolling by as warnings forever."""
+    import jax.numpy as jnp
+
+    from tqdne_tpu.data.representation import Identity
+    from tqdne_tpu.train.callbacks import SamplingEvalCallback
+    from tqdne_tpu.train.loop import MetricWriter
+
+    batches = [{
+        "signal": rng.standard_normal((4, 64, 3)).astype(np.float32),
+        "waveform": rng.standard_normal((4, 64, 3)).astype(np.float32),
+    }]
+
+    def fake_sample(params, key, batch):
+        return jnp.asarray(batch["signal"])
+
+    class AlwaysBroken:
+        name = "AlwaysBroken"
+
+        def __call__(self, pred, target):
+            raise ValueError("boom")
+
+    cb = SamplingEvalCallback(
+        fake_sample, batches, Identity(), metrics=[AlwaysBroken()],
+        every_n_epochs=1, max_consecutive_failures=3,
+    )
+
+    class FakeTrainer:
+        workdir = tmp_path
+        writer = MetricWriter(tmp_path)
+
+    class FakeState:
+        ema_params = {}
+
+    cb(FakeTrainer(), FakeState(), epoch=0, gstep=1)  # warn
+    cb(FakeTrainer(), FakeState(), epoch=1, gstep=2)  # warn
+    with pytest.raises(RuntimeError, match="3 sampling evals in a row"):
+        cb(FakeTrainer(), FakeState(), epoch=2, gstep=3)
+
+
+def test_callback_batch_size_mismatch_raises(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from tqdne_tpu.data.representation import Identity
+    from tqdne_tpu.train.callbacks import SamplingEvalCallback
+    from tqdne_tpu.train.loop import MetricWriter
+
+    batches = [{
+        "signal": rng.standard_normal((4, 64, 3)).astype(np.float32),
+        "waveform": rng.standard_normal((4, 64, 3)).astype(np.float32),
+    }]
+
+    def bad_sample(params, key, batch):
+        return jnp.asarray(batch["signal"])[:2]  # drops half the batch
+
+    cb = SamplingEvalCallback(bad_sample, batches, Identity(), every_n_epochs=1)
+
+    class FakeTrainer:
+        workdir = tmp_path
+        writer = MetricWriter(tmp_path)
+
+    class FakeState:
+        ema_params = {}
+
+    with pytest.raises(ValueError, match="must preserve batch size"):
+        cb(FakeTrainer(), FakeState(), epoch=0, gstep=1)

@@ -172,7 +172,13 @@ def run(recipe_key: str, args):
             {"params": jax.random.key(args.seed), "sample": jax.random.key(1)},
             jnp.zeros((1, *sig_shape)),
         )
-        train_step, eval_step = make_autoencoder_steps(ae, tx, kl_weight=config.kl_weight)
+        # the reference trains the AE and classifier WITHOUT EMA (ema_decay
+        # defaults to 0 in get_pl_trainer; only the EDM passes 0.999,
+        # /root/reference/tqdne/training.py:18,37 + train_latent_edm.py:73):
+        # decay 0 keeps ema_params == live params, so checkpoint consumers
+        # (frozen-AE loading, evaluation) read the live weights
+        train_step, eval_step = make_autoencoder_steps(ae, tx, kl_weight=config.kl_weight,
+                                                       ema_decay=0.0)
         state = TrainState.create(variables, tx)
         extra = ()
         callbacks = ()
@@ -355,7 +361,7 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     lr_schedule = cosine_annealing(1e-4, max_steps)
     tx = make_optimizer("adam", lr_schedule)
     train_step, eval_step, metric_post = make_classifier_steps(
-        clf, tx, ds_train.get_class_weights()
+        clf, tx, ds_train.get_class_weights(), ema_decay=0.0  # no EMA, reference parity
     )
     state = TrainState.create(params, tx)
 

@@ -63,6 +63,7 @@ class SamplingEvalCallback:
         seed: int = 123,
         feature_stats=None,
         features_keys: Sequence[str] = (),
+        max_consecutive_failures: int = 3,
     ):
         self.sample_fn = sample_fn
         self.val_batches = list(val_batches)
@@ -73,6 +74,21 @@ class SamplingEvalCallback:
         self.seed = seed
         self.feature_stats = None if feature_stats is None else np.asarray(feature_stats)
         self.features_keys = list(features_keys)
+        # per-metric/plot consecutive-failure counters: one-off failures
+        # stay warnings (reference NaN-guard philosophy), but a metric that
+        # fails every eval for a whole run must surface, not scroll by
+        self.max_consecutive_failures = max_consecutive_failures
+        self._failures: dict[str, int] = {}
+
+    def _record_failure(self, kind: str, name: str, err: Exception):
+        count = self._failures.get(name, 0) + 1
+        self._failures[name] = count
+        logger.warning("%s %s failed (%d consecutive): %s", kind, name, count, err)
+        if count >= self.max_consecutive_failures:
+            raise RuntimeError(
+                f"{kind} {name!r} failed {count} sampling evals in a row "
+                f"(last error: {err}); fix it or drop it from the callback"
+            ) from err
 
     def __call__(self, trainer, state, epoch: int, gstep: int):
         if (epoch + 1) % self.every_n_epochs != 0:
@@ -87,8 +103,14 @@ class SamplingEvalCallback:
             pred_wf = self.representation.invert_representation(
                 to_channels_first(pred_signal)
             )
+            target_wf = to_channels_first(np.asarray(batch["waveform"]))
+            if len(pred_wf) != len(target_wf):
+                raise ValueError(
+                    f"sampling eval batch {i}: {len(pred_wf)} predictions vs "
+                    f"{len(target_wf)} targets — sample_fn must preserve batch size"
+                )
             preds.append(pred_wf)
-            targets.append(to_channels_first(np.asarray(batch["waveform"])))
+            targets.append(target_wf)
             if "cond" in batch:
                 conds.append(np.asarray(batch["cond"]))
 
@@ -109,8 +131,9 @@ class SamplingEvalCallback:
         for metric in self.metrics:
             try:
                 scalars[f"eval/{metric.name}"] = float(metric(pred, target))
+                self._failures.pop(metric.name, None)
             except Exception as e:
-                logger.warning("metric %s failed: %s", metric.name, e)
+                self._record_failure("metric", metric.name, e)
         if scalars:
             trainer.writer.write(gstep, scalars)
 
@@ -121,5 +144,6 @@ class SamplingEvalCallback:
                 try:
                     fig = plot(pred, target, **plot_kwargs)
                     fig.savefig(plotdir / f"{plot.name.replace(' ', '_')}.png", dpi=100)
+                    self._failures.pop(plot.name, None)
                 except Exception as e:
-                    logger.warning("plot %s failed: %s", plot.name, e)
+                    self._record_failure("plot", plot.name, e)
