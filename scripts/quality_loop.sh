@@ -48,7 +48,7 @@ $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_edm --split train -
 stage "report"
 $PY -m tqdne_tpu.eval.report "$W/evaluation/$RUN-split_test-rank_0.h5" \
   --calibration-files "$W/evaluation/$RUN-split_train-rank_0.h5" \
-  --out "$W/evaluation/report.json"
+  --out "$W/evaluation/report.json" --figures "$W/evaluation/figures"
 
 stage "residuals"
 $PY -m tqdne_tpu.eval.residuals "$W/evaluation/$RUN-split_test-rank_0.h5" \

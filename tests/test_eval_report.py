@@ -110,3 +110,16 @@ def test_p_window_filter(rng):
     batch = np.stack([trace(500), trace(3000)])  # 5 s (in window), 30 s (out)
     keep = p_window_filter(batch, fs=100.0, window_s=(2.0, 7.0))
     assert keep[0] and not keep[1]
+
+
+def test_report_figures(tmp_path, rng):
+    from tqdne_tpu.eval.report import report_figures
+
+    p = _write_eval_file(tmp_path / "rank0.h5", rng, n=96)
+    written = report_figures([p], tmp_path / "figs", gallery_events=2, gallery_samples=3)
+    names = {w.name for w in written}
+    assert {"asd_comparison.png", "envelope_grid.png", "asd_grid.png", "bin_asd.png",
+            "waveform_gallery.png", "cumulative_probability.png",
+            "sample_overlay.png"} <= names
+    for w in written:
+        assert w.exists() and w.stat().st_size > 1000

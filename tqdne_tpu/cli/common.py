@@ -366,9 +366,12 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
 
         _, _, sample_fn = make_consistency_steps(unet, tx=None, cfg=ConsistencyConfig(),
                                                  max_steps=1)
+        # num_steps = total network evals: one sigma_max shot + N-1
+        # refinement passes at sigma=1 (consistency_model.py:81-106 default)
+        refine_sigmas = (1.0,) * max(0, num_steps - 1)
 
         def raw_sample(params, ae_vars, key, shape, cond):
-            return sample_fn(params, key, shape, cond=cond)
+            return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond)
     elif recipe.kind == "ddpm":
         from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
 

@@ -94,10 +94,15 @@ def main(argv=None):
                              "statistics (experiments/generate.py:82-106 behavior) instead "
                              "of the published summary table")
     parser.add_argument("--batch_size", "--batch-size", type=int, default=32)
-    parser.add_argument("--num_steps", "--num-steps", type=int, default=25)
-    parser.add_argument("--solver", type=str, default="heun", choices=["heun", "dpmpp_2m"],
+    parser.add_argument("--num_steps", "--num-steps", type=int, default=None,
+                        help="sampling steps (default: 25 for EDM solvers; 2 total "
+                             "network evals for the consistency solver)")
+    parser.add_argument("--solver", type=str, default="heun",
+                        choices=["heun", "dpmpp_2m", "consistency"],
                         help="heun = reference semantics (2N-1 UNet evals); dpmpp_2m = "
-                             "2nd-order multistep, N evals (~2x faster, beyond reference)")
+                             "2nd-order multistep, N evals (~2x faster, beyond reference); "
+                             "consistency = 1-2 eval sampling from a consistency-model run "
+                             "(implies --config consistency unless one is given)")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
@@ -106,6 +111,18 @@ def main(argv=None):
 
     common.setup_logging()
     import h5py
+
+    if args.solver == "consistency" and args.config == "latent_edm":
+        # --solver consistency routes to the consistency-model family
+        # (a separate trained run), not an EDM ODE solver
+        args.config = "consistency"
+    if args.solver == "consistency" and args.config != "consistency":
+        raise SystemExit(
+            "--solver consistency samples a consistency-model run; use it with "
+            "--config consistency (or omit --config)"
+        )
+    if args.num_steps is None:
+        args.num_steps = 2 if args.config == "consistency" else 25
 
     dtype = common.parse_dtype(args.dtype)
     cond_raw = read_conditioning(args)

@@ -130,6 +130,76 @@ def evaluation_report(
     return report
 
 
+def report_figures(
+    eval_files,
+    outdir,
+    mag_bins=(4, 4.75, 5, 5.5, 6.5, 7.5, 9.1),
+    dist_bins=(0, 75, 100, 125, 150, 175, 200),
+    fs: float = 100.0,
+    gallery_events: int = 3,
+    gallery_samples: int = 5,
+) -> list[Path]:
+    """Render the notebook figure set from tqdne-evaluate outputs into
+    ``outdir``: ASD comparison, envelope/ASD grids, per-bin ASD heatmap,
+    waveform gallery (nearest-conditioning samples per event) and the
+    PGA cumulative-probability heatmap."""
+    from tqdne_tpu.eval import plots as P
+
+    paths = [Path(p) for p in (eval_files if isinstance(eval_files, (list, tuple))
+                               else [eval_files])]
+    pred_wf = _concat_ranks(paths, "predicted_waveform")
+    targ_wf = _concat_ranks(paths, "target_waveform")
+    mag = _concat_ranks(paths, "magnitude")
+    dist = _concat_ranks(paths, "hypocentral_distance")
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    mb, db = list(mag_bins), list(dist_bins)
+
+    figures = {
+        "asd_comparison": P.AmplitudeSpectralDensityPlot(fs=fs, channel=0),
+        "sample_overlay": P.SamplePlot(plot_target=True, fs=fs, channel=0, n=4),
+        "envelope_grid": P.MovingAverageEnvelopeGrid(fs, 0, mb, db),
+        "asd_grid": P.AmplitudeSpectralDensityGrid(fs, 0, mb, db),
+        "bin_asd": P.BinPlot(AmplitudeSpectralDensity(fs=fs, channel=0, isotropic=True),
+                             mb, db),
+    }
+    written = []
+    for name, plot in figures.items():
+        kwargs = {"mag": mag, "dist": dist} if isinstance(plot, (P.BinPlot, P.GridPlot)) \
+            else {}
+        fig = plot(pred_wf, targ_wf, **kwargs)
+        path = outdir / f"{name}.png"
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        written.append(path)
+
+    # gallery: per picked event, the generated rows with the nearest
+    # conditioning (each evaluate row has exactly one sample per cond)
+    order = np.argsort(mag)
+    picks = order[np.linspace(0, len(order) - 1, gallery_events).astype(int)]
+    gal_pred, labels = [], []
+    for e in picks:
+        score = (np.abs(mag - mag[e]) / 0.5) ** 2 + (np.abs(dist - dist[e]) / 20.0) ** 2
+        near = np.argsort(score)[1 : gallery_samples + 1]
+        gal_pred.append(pred_wf[near])
+        labels.append(f"M{mag[e]:.1f}  {dist[e]:.0f} km")
+    fig = P.WaveformGalleryGrid(fs=fs, channel=0, samples_per_event=gallery_samples)(
+        np.concatenate(gal_pred), targ_wf[picks], event_labels=labels
+    )
+    path = outdir / "waveform_gallery.png"
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    written.append(path)
+
+    # PGA likelihood heatmap (cumulative_probability notebook statistic)
+    pga = lambda wf: np.abs(wf[:, :2]).max(axis=(1, 2))  # noqa: E731 - horizontals
+    fig = P.CumulativeProbabilityPlot(mb, db, im_name="PGA")(
+        pga(pred_wf), pga(targ_wf), mag=mag, dist=dist
+    )
+    path = outdir / "cumulative_probability.png"
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    written.append(path)
+    return written
+
+
 def main(argv=None):
     import argparse
 
@@ -139,12 +209,17 @@ def main(argv=None):
     parser.add_argument("--calibration-files", nargs="+", default=None,
                         help="second evaluate-output set (train split) for the "
                              "train-vs-test calibration FID")
+    parser.add_argument("--figures", type=str, default=None,
+                        help="also render the notebook figure set into this directory")
     args = parser.parse_args(argv)
     report = evaluation_report(args.files, calibration_files=args.calibration_files)
     text = json.dumps(report, indent=2)
     if args.out:
         Path(args.out).write_text(text)
     print(text)
+    if args.figures:
+        for p in report_figures(args.files, args.figures):
+            print(f"wrote {p}")
 
 
 if __name__ == "__main__":
