@@ -24,7 +24,7 @@ fi
 
 stage "train autoencoder"
 $PY -m tqdne_tpu.cli.train autoencoder --workdir "$W" \
-  --max-epochs "${AE_EPOCHS:-40}" -b 128 --eval-every 20
+  --max-epochs "${AE_EPOCHS:-40}" -b 128 --eval-every 20 --device-representation
 
 stage "precompute latents"
 $PY -m tqdne_tpu.cli.precompute_latents --workdir "$W" --config latent_edm
@@ -35,7 +35,7 @@ $PY -m tqdne_tpu.cli.train latent_edm --workdir "$W" \
 
 stage "train classifier"
 $PY -m tqdne_tpu.cli.train classifier --workdir "$W" \
-  --max-epochs "${CLF_EPOCHS:-30}" -b 64 --eval-every 99
+  --max-epochs "${CLF_EPOCHS:-30}" -b 64 --eval-every 99 --device-representation
 
 RUN=Latent-EDM-32x32x8-LogSpectrogram
 stage "evaluate (sampled vs target HDF5, test split)"

@@ -244,3 +244,55 @@ def test_matmul_istft_non_divisible_length(rng):
     got = np.asarray(jsp.istft(spec, 256, 32, 1000, impl="matmul"))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(got, x, rtol=1e-3, atol=1e-4)
+
+
+def test_device_representation_in_ae_and_classifier_steps(rng):
+    """make_autoencoder_steps / make_classifier_steps with
+    device_representation: training on raw waveforms matches training on
+    host-computed signals (round-3: the flag now covers all three
+    representation-consuming recipe kinds)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tqdne_tpu.models.autoencoder import AutoencoderKL
+    from tqdne_tpu.models.classifier import Classifier
+    from tqdne_tpu.ops.representation import device_representation_fn
+    from tqdne_tpu.train.state import TrainState
+    from tqdne_tpu.train.steps import make_autoencoder_steps, make_classifier_steps
+
+    host_rep = rep.MovingAverageEnvelope(window_size=16)
+    wf = _waveform(rng, (4, 3, 256))
+    signal = host_rep.get_representation(wf)
+    dev_fn = device_representation_fn(host_rep)
+    batch_host = {"signal": jnp.moveaxis(jnp.asarray(signal), 1, -1)}
+    batch_dev = {"waveform": jnp_moveaxis(wf)}
+    key = jax.random.key(3)
+
+    ae_cfg = dict(model_channels=8, channel_mult=(1, 2), attention_resolutions=(),
+                  num_res_blocks=1, dims=1, conv_kernel_size=5, dropout=0.0)
+    ae = AutoencoderKL(encoder_config=ae_cfg | {"in_channels": 6, "out_channels": 8},
+                       decoder_config=ae_cfg | {"in_channels": 4, "out_channels": 6})
+    variables = ae.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
+                        jnp.zeros((1, 256, 6)))
+    tx = optax.adam(1e-3)
+    ts_host, _ = make_autoencoder_steps(ae, tx)
+    ts_dev, _ = make_autoencoder_steps(ae, tx, device_representation=dev_fn)
+    _, m_host = jax.jit(ts_host)(TrainState.create(variables, tx), batch_host, key)
+    _, m_dev = jax.jit(ts_dev)(TrainState.create(variables, tx), batch_dev, key)
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]), rtol=1e-4)
+
+    ecfg = dict(in_channels=6, model_channels=8, out_channels=16, channel_mult=(1, 2),
+                attention_resolutions=(), num_res_blocks=1, dims=1, conv_kernel_size=5,
+                dropout=0.0)
+    clf = Classifier(encoder_config=ecfg, num_classes=4)
+    params = clf.init(jax.random.key(0), jnp.zeros((1, 256, 6)))
+    labels = jnp.asarray(rng.integers(0, 4, 4))
+    cs_host, _, _ = make_classifier_steps(clf, tx, np.ones(4, np.float32))
+    cs_dev, _, _ = make_classifier_steps(clf, tx, np.ones(4, np.float32),
+                                         device_representation=dev_fn)
+    _, c_host = jax.jit(cs_host)(TrainState.create(params, tx),
+                                 batch_host | {"label": labels}, key)
+    _, c_dev = jax.jit(cs_dev)(TrainState.create(params, tx),
+                               batch_dev | {"label": labels}, key)
+    np.testing.assert_allclose(float(c_dev["loss"]), float(c_host["loss"]), rtol=1e-4)

@@ -104,11 +104,16 @@ def run(recipe_key: str, args):
     workdir = config.outputdir / recipe.name
     sig_shape = common.signal_shape(config)
 
-    # EDM-only flags must error loudly on every other recipe, including the
-    # classifier (no silent no-ops)
+    # recipe-specific flags must error loudly where unsupported (no silent
+    # no-ops)
     device_rep = None
-    if getattr(args, "device_representation", False) and recipe.kind != "edm":
-        raise SystemExit("--device-representation is supported for EDM recipes")
+    if getattr(args, "device_representation", False) and recipe.kind not in (
+        "edm", "autoencoder", "classifier"
+    ):
+        raise SystemExit(
+            "--device-representation is supported for EDM, autoencoder and "
+            "classifier recipes"
+        )
     if getattr(args, "cached_latents", False) and not (recipe.latent and recipe.kind == "edm"):
         raise SystemExit("--cached-latents needs a latent EDM recipe")
 
@@ -178,7 +183,8 @@ def run(recipe_key: str, args):
         # decay 0 keeps ema_params == live params, so checkpoint consumers
         # (frozen-AE loading, evaluation) read the live weights
         train_step, eval_step = make_autoencoder_steps(ae, tx, kl_weight=config.kl_weight,
-                                                       ema_decay=0.0)
+                                                       ema_decay=0.0,
+                                                       device_representation=device_rep)
         state = TrainState.create(variables, tx)
         extra = ()
         callbacks = ()
@@ -331,17 +337,30 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     from tqdne_tpu.parallel.mesh import batch_sharding
     from tqdne_tpu.train.steps import make_classifier_steps
 
-    representation = config.make_representation()
+    device_rep = None
+    if getattr(args, "device_representation", False):
+        from tqdne_tpu.data.representation import Identity
+        from tqdne_tpu.ops.representation import device_representation_fn
+
+        device_rep = device_representation_fn(config.make_representation())
+        if device_rep is None:
+            raise SystemExit(
+                f"no device transform for {type(config.make_representation()).__name__}"
+            )
+
+    # with --device-representation the loader ships raw waveforms and the
+    # jitted step computes the spectrogram on the accelerator
+    ds_rep = Identity() if device_rep is not None else config.make_representation()
     ds_train = ClassificationDataset(
-        config.datapath, representation, config.mag_bins, config.dist_bins,
+        config.datapath, ds_rep, config.mag_bins, config.dist_bins,
         cut=config.t, split="train_validation",
     )
     ds_val = ClassificationDataset(
-        config.datapath, representation, config.mag_bins, config.dist_bins,
+        config.datapath, ds_rep, config.mag_bins, config.dist_bins,
         cut=config.t, split="test",
     )
     sharding = batch_sharding(mesh)
-    keys = ("signal", "label")
+    keys = ("waveform", "label") if device_rep is not None else ("signal", "label")
     n_dev = mesh.devices.size
     train_loader = BatchLoader(ds_train, batch, sharding=sharding, keys=keys)
     vb = max(n_dev, min(batch, (len(ds_val) // n_dev) * n_dev or n_dev))
@@ -361,7 +380,8 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
     lr_schedule = cosine_annealing(1e-4, max_steps)
     tx = make_optimizer("adam", lr_schedule)
     train_step, eval_step, metric_post = make_classifier_steps(
-        clf, tx, ds_train.get_class_weights(), ema_decay=0.0  # no EMA, reference parity
+        clf, tx, ds_train.get_class_weights(), ema_decay=0.0,  # no EMA, reference parity
+        device_representation=device_rep,
     )
     state = TrainState.create(params, tx)
 

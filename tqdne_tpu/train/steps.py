@@ -206,12 +206,23 @@ def make_edm_steps(
 # --------------------------------------------------------------------------
 
 
-def make_autoencoder_steps(ae, tx, *, kl_weight: float = 1e-6, ema_decay: float = 0.999):
-    """Returns (train_step, eval_step) for the KL-VAE."""
+def make_autoencoder_steps(ae, tx, *, kl_weight: float = 1e-6, ema_decay: float = 0.999,
+                           device_representation=None):
+    """Returns (train_step, eval_step) for the KL-VAE.
+
+    ``device_representation``: optional jax transform (channels-last
+    waveform -> signal) applied inside the jitted step, so the loader
+    ships raw waveforms and the host never computes the spectrogram /
+    envelope (same contract as make_edm_steps)."""
     from tqdne_tpu.models.autoencoder import kl_divergence
 
     ae_train = ae.clone(train=True)
     ae_eval = ae.clone(train=False)
+
+    def _signal(batch):
+        if device_representation is not None:
+            return device_representation(batch["waveform"])
+        return batch["signal"]
 
     def _losses(params, batch, key, train):
         key_s, key_s2, key_drop = jax.random.split(key, 3)
@@ -229,7 +240,7 @@ def make_autoencoder_steps(ae, tx, *, kl_weight: float = 1e-6, ema_decay: float 
             kl = jnp.mean(kl_divergence(mean, log_std))
             return recon_loss, kl
 
-        recon_loss, kl = run(batch["signal"], key_s)
+        recon_loss, kl = run(_signal(batch), key_s)
         loss = recon_loss + kl_weight * kl
         metrics = {"reconstruction_loss": recon_loss, "kl_divergence": kl, "loss": loss}
         if "cond_signal" in batch and batch["cond_signal"] is not None:
@@ -258,7 +269,8 @@ def make_autoencoder_steps(ae, tx, *, kl_weight: float = 1e-6, ema_decay: float 
 # --------------------------------------------------------------------------
 
 
-def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999):
+def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999,
+                          device_representation=None):
     """Returns (train_step, eval_step, metric_postprocess).
 
     Validation emits per-class confusion COUNTS (tp / predicted / true);
@@ -276,7 +288,9 @@ def make_classifier_steps(clf, tx, class_weights, *, ema_decay: float = 0.999):
 
     def _loss(params, batch, key, train):
         rngs = {"dropout": key} if train else None
-        logits = (clf_train if train else clf_eval).apply(params, batch["signal"], rngs=rngs)
+        signal = (device_representation(batch["waveform"])
+                  if device_representation is not None else batch["signal"])
+        logits = (clf_train if train else clf_eval).apply(params, signal, rngs=rngs)
         loss = weighted_cross_entropy(logits, batch["label"], cw)
         acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
         return loss, {"loss": loss, "accuracy": acc, "logits": logits}
