@@ -99,6 +99,40 @@ def build_sampler(batch: int):
             lambda key: run_dpmpp(params, ae_vars, key))
 
 
+def build_consistency_sampler(batch: int):
+    """2-eval consistency-model sampling at the flagship latent shape +
+    VAE decode — the algorithmic lever beyond solver order (49 Heun evals
+    -> 2; /root/reference/tqdne/consistency_model.py:81-106).  Throughput
+    depends on architecture, not weights, so random init measures it."""
+    from tqdne_tpu import configs
+    from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
+    from tqdne_tpu.models.autoencoder import AutoencoderKL
+    from tqdne_tpu.models.unet import UNet
+
+    cfg = configs.LatentSpectrogramConfig(workdir=".")
+    enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(cfg)
+    ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg, dtype=jnp.bfloat16)
+    ae_vars = jax.jit(ae.init)(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 128, 128, 3)),
+    )
+    ucfg = configs.get_2d_unet_config(cfg, in_channels=8, out_channels=8)
+    unet = UNet(**ucfg, dtype=jnp.bfloat16)
+    params = jax.jit(unet.init)(
+        jax.random.key(2), jnp.zeros((1, 32, 32, 8)), jnp.zeros((1,)), jnp.zeros((1, 5))
+    )
+    _, _, sample_fn = make_consistency_steps(unet, None, ConsistencyConfig(), max_steps=1)
+    latent_shape = (batch, 32, 32, 8)
+    cond = jnp.zeros((batch, 5))
+
+    @jax.jit
+    def run(params, ae_vars, key):
+        lat = sample_fn(params, key, latent_shape, sigmas=(1.0,), cond=cond)
+        return ae.apply(ae_vars, lat.astype(jnp.bfloat16), method="decode")
+
+    return lambda key: run(params, ae_vars, key)
+
+
 def build_invert(batch: int):
     """On-device Griffin-Lim phase recovery: signal -> 3x4064 waveforms.
     Combined with the sampler this is the full user-facing generation path
@@ -195,6 +229,23 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# e2e secondary failed: {e}", flush=True)
+
+    # secondary: 2-eval consistency sampling at the flagship shape (the
+    # fewer-network-evals lever; quality evidence lives in the trained
+    # consistency run, docs/quality)
+    if elapsed() < BUDGET:
+        try:
+            run_cm = build_consistency_sampler(batch)
+            out = run_cm(jax.random.key(200))
+            float(out.sum())
+            t0 = time.perf_counter()
+            for i in range(3):
+                out = run_cm(jax.random.key(201 + i))
+            float(out.sum())
+            emit("sampled_waveforms_per_sec_per_chip_consistency2_latent2d",
+                 batch * 3 / (time.perf_counter() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# consistency secondary failed: {e}", flush=True)
 
     # LAST line = the headline — the one the driver parses
     emit(*headline)

@@ -123,3 +123,22 @@ def test_report_figures(tmp_path, rng):
             "sample_overlay.png"} <= names
     for w in written:
         assert w.exists() and w.stat().st_size > 1000
+
+
+def test_evaluation_report_without_classifier(tmp_path, rng):
+    """1D (MovingAvg) configs have no spectrogram classifier — the report
+    must still produce the waveform-domain metrics with fid/IS null."""
+    import h5py
+
+    p = tmp_path / "rank0.h5"
+    _write_eval_file(p, rng, n=48)
+    with h5py.File(p, "r+") as f:
+        for k in ("target_classifier_embedding", "predicted_classifier_embedding",
+                  "target_classifier_pred", "predicted_classifier_pred"):
+            del f[k]
+    rep = evaluation_report([p], mag_bins=(4, 6.5, 9.1), dist_bins=(0, 100, 200))
+    assert rep["fid"] is None and rep["inception_score"] is None
+    assert len(rep["asd_frechet_per_channel"]) == 3
+    assert "asd_frechet_per_bin" in rep
+    flat = [v for row in rep["asd_frechet_per_bin"] for v in row]
+    assert any(v is not None for v in flat)

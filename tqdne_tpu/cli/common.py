@@ -38,6 +38,15 @@ def setup_logging():
             logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
         )
         root.addHandler(handler)
+    # kill -USR1 <pid> dumps all Python thread stacks to stderr — the only
+    # way to diagnose a wedged device call through the remote-TPU tunnel
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1)
+    except (AttributeError, ValueError):  # non-main thread / no SIGUSR1
+        pass
     enable_compilation_cache()
 
 

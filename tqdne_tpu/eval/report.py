@@ -54,42 +54,56 @@ def evaluation_report(
     TRAIN split) whose target embeddings are compared against this set's
     target embeddings — the train-vs-test FID baseline evaluation.ipynb
     computes before judging the generated FID."""
+    import h5py
+
     paths = [Path(p) for p in (eval_files if isinstance(eval_files, (list, tuple))
                                else [eval_files])]
-    pred_emb = _concat_ranks(paths, "predicted_classifier_embedding")
-    targ_emb = _concat_ranks(paths, "target_classifier_embedding")
-    pred_logits = _concat_ranks(paths, "predicted_classifier_pred")
-    targ_logits = _concat_ranks(paths, "target_classifier_pred")
     pred_wf = _concat_ranks(paths, "predicted_waveform")
     targ_wf = _concat_ranks(paths, "target_waveform")
     mag = _concat_ranks(paths, "magnitude")
     dist = _concat_ranks(paths, "hypocentral_distance")
+    # classifier datasets are optional: 1D configs (MovingAvg families)
+    # have no spectrogram classifier, matching the reference whose
+    # classifier is 2D-only — then the report carries waveform-domain
+    # metrics and fid/inception_score stay null
+    with h5py.File(paths[0], "r") as f:
+        has_classifier = "predicted_classifier_embedding" in f
 
-    report: dict = {"num_samples": int(len(pred_emb))}
-
-    # global FID / IS
-    report["fid"] = frechet_distance(pred_emb, targ_emb)
-    if calibration_files:
-        cal_paths = [Path(p) for p in (
-            calibration_files if isinstance(calibration_files, (list, tuple))
-            else [calibration_files]
-        )]
-        cal_emb = _concat_ranks(cal_paths, "target_classifier_embedding")
-        report["fid_calibration"] = frechet_distance(cal_emb, targ_emb)
-    probs = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
-    probs /= probs.sum(-1, keepdims=True)
-    marginal = probs.mean(0)
-    kl = np.sum(probs * (np.log(probs + 1e-12) - np.log(marginal + 1e-12)), -1)
-    report["inception_score"] = float(np.exp(kl.mean()))
-
-    # classifier accuracy vs the conditioning bins
+    report: dict = {"num_samples": int(len(pred_wf))}
     labels = _bin_label(mag, dist, list(mag_bins), list(dist_bins))
-    report["classifier_accuracy_target"] = float(
-        (targ_logits.argmax(-1) == labels).mean()
-    )
-    report["classifier_accuracy_predicted"] = float(
-        (pred_logits.argmax(-1) == labels).mean()
-    )
+
+    pred_emb = targ_emb = pred_logits = None
+    if has_classifier:
+        pred_emb = _concat_ranks(paths, "predicted_classifier_embedding")
+        targ_emb = _concat_ranks(paths, "target_classifier_embedding")
+        pred_logits = _concat_ranks(paths, "predicted_classifier_pred")
+        targ_logits = _concat_ranks(paths, "target_classifier_pred")
+
+        # global FID / IS
+        report["fid"] = frechet_distance(pred_emb, targ_emb)
+        if calibration_files:
+            cal_paths = [Path(p) for p in (
+                calibration_files if isinstance(calibration_files, (list, tuple))
+                else [calibration_files]
+            )]
+            cal_emb = _concat_ranks(cal_paths, "target_classifier_embedding")
+            report["fid_calibration"] = frechet_distance(cal_emb, targ_emb)
+        probs = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        marginal = probs.mean(0)
+        kl = np.sum(probs * (np.log(probs + 1e-12) - np.log(marginal + 1e-12)), -1)
+        report["inception_score"] = float(np.exp(kl.mean()))
+
+        # classifier accuracy vs the conditioning bins
+        report["classifier_accuracy_target"] = float(
+            (targ_logits.argmax(-1) == labels).mean()
+        )
+        report["classifier_accuracy_predicted"] = float(
+            (pred_logits.argmax(-1) == labels).mean()
+        )
+    else:
+        report["fid"] = None
+        report["inception_score"] = None
 
     # ASD Frechet + MSE per channel
     n_ch = pred_wf.shape[1]
@@ -101,10 +115,12 @@ def evaluation_report(
         float(((pred_wf[:, c] - targ_wf[:, c]) ** 2).mean()) for c in range(n_ch)
     ]
 
-    # per-bin FID matrix + accuracy
+    # per-bin matrices: FID + accuracy (classifier) and ASD Frechet
     nd, nm = len(dist_bins) - 1, len(mag_bins) - 1
     fid_bins = np.full((nd, nm), np.nan)
     acc_bins = np.full((nd, nm), np.nan)
+    asd_bins = np.full((nd, nm), np.nan)
+    asd0 = AmplitudeSpectralDensity(fs=fs, channel=0, isotropic=True)
     for i in range(nd):
         for j in range(nm):
             m = (
@@ -112,10 +128,14 @@ def evaluation_report(
                 & (mag >= mag_bins[j]) & (mag < mag_bins[j + 1])
             )
             if m.sum() >= min_bin_count:
-                fid_bins[i, j] = frechet_distance(
-                    pred_emb[m], targ_emb[m], isotropic=True
-                )
-                acc_bins[i, j] = float((pred_logits[m].argmax(-1) == labels[m]).mean())
+                asd_bins[i, j] = asd0(pred_wf[m], targ_wf[m])
+                if has_classifier:
+                    fid_bins[i, j] = frechet_distance(
+                        pred_emb[m], targ_emb[m], isotropic=True
+                    )
+                    acc_bins[i, j] = float(
+                        (pred_logits[m].argmax(-1) == labels[m]).mean()
+                    )
     def _json_safe(x):  # NaN -> None so the output is strict JSON
         if isinstance(x, float) and not np.isfinite(x):
             return None
@@ -125,6 +145,7 @@ def evaluation_report(
 
     report["fid_per_bin"] = _json_safe(fid_bins.tolist())
     report["accuracy_per_bin"] = _json_safe(acc_bins.tolist())
+    report["asd_frechet_per_bin"] = _json_safe(asd_bins.tolist())
     report["mag_bins"] = list(mag_bins)
     report["dist_bins"] = list(dist_bins)
     return report
