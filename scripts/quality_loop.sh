@@ -12,7 +12,7 @@ PY=${PY:-python}
 cd /root/repo
 mkdir -p "$W"
 
-stage() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
+source "$(dirname "$0")/_watchdog.sh"
 
 if [ ! -f "$W/data/preprocessed_waveforms.h5" ]; then
   stage "synthetic dataset (n=$N)"
@@ -23,35 +23,35 @@ EOF
 fi
 
 stage "train autoencoder"
-$PY -m tqdne_tpu.cli.train autoencoder --workdir "$W" \
+run_watched $PY -m tqdne_tpu.cli.train autoencoder --workdir "$W" \
   --max-epochs "${AE_EPOCHS:-40}" -b 128 --eval-every 20 --device-representation
 
 stage "precompute latents"
-$PY -m tqdne_tpu.cli.precompute_latents --workdir "$W" --config latent_edm
+run_watched $PY -m tqdne_tpu.cli.precompute_latents --workdir "$W" --config latent_edm
 
 stage "train latent EDM (flagship)"
-$PY -m tqdne_tpu.cli.train latent_edm --workdir "$W" \
+run_watched $PY -m tqdne_tpu.cli.train latent_edm --workdir "$W" \
   --max-epochs "${EDM_EPOCHS:-150}" -b 256 --cached-latents --eval-every 25
 
 stage "train classifier"
-$PY -m tqdne_tpu.cli.train classifier --workdir "$W" \
+run_watched $PY -m tqdne_tpu.cli.train classifier --workdir "$W" \
   --max-epochs "${CLF_EPOCHS:-30}" -b 64 --eval-every 99 --device-representation
 
 RUN=Latent-EDM-32x32x8-LogSpectrogram
 stage "evaluate (sampled vs target HDF5, test split)"
-$PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_edm --split test -b 64
+run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_edm --split test -b 64
 
 stage "evaluate (train split slice, for the train-vs-test calibration FID)"
-$PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_edm --split train -b 64 \
+run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_edm --split train -b 64 \
   --limit-batches 13
 
 stage "report"
-$PY -m tqdne_tpu.eval.report "$W/evaluation/$RUN-split_test-rank_0.h5" \
+run_watched $PY -m tqdne_tpu.eval.report "$W/evaluation/$RUN-split_test-rank_0.h5" \
   --calibration-files "$W/evaluation/$RUN-split_train-rank_0.h5" \
   --out "$W/evaluation/report.json" --figures "$W/evaluation/figures"
 
 stage "residuals"
-$PY -m tqdne_tpu.eval.residuals "$W/evaluation/$RUN-split_test-rank_0.h5" \
+run_watched $PY -m tqdne_tpu.eval.residuals "$W/evaluation/$RUN-split_test-rank_0.h5" \
   --out "$W/evaluation/residuals.json" --plot "$W/evaluation/residuals.png"
 
 stage "done"

@@ -103,6 +103,7 @@ def run(args):
             mean_ds[s : s + len(m)] = m
             std_ds[s : s + len(m)] = ls
             done += len(m)
+            print(f"latent moments {done}/{n}", flush=True)  # watchdog heartbeat
         print(f"wrote {done} latent moment rows -> {out_path}")
     return out_path
 
