@@ -15,11 +15,12 @@ test -f "$W/data/preprocessed_waveforms.h5" || { echo "run quality_loop.sh first
 
 stage "train 1D EDM (Heun quality baseline)"
 run_watched $PY -m tqdne_tpu.cli.train 1d_edm --workdir "$W" \
-  --max-epochs "${EDM1D_EPOCHS:-80}" -b 256 --eval-every 40 --device-representation
+  --max-epochs "${EDM1D_EPOCHS:-80}" -b 256 --eval-every 40 --device-representation \
+  --checkpoint-every 20
 
 stage "train consistency model (iCT)"
 run_watched $PY -m tqdne_tpu.cli.train consistency --workdir "$W" \
-  --max-epochs "${CM_EPOCHS:-120}" -b 256 --eval-every 60
+  --max-epochs "${CM_EPOCHS:-120}" -b 256 --eval-every 60 --checkpoint-every 20
 
 stage "evaluate 1D EDM (test split)"
 run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config 1d_edm --split test -b 64 \

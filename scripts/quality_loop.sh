@@ -24,18 +24,21 @@ fi
 
 stage "train autoencoder"
 run_watched $PY -m tqdne_tpu.cli.train autoencoder --workdir "$W" \
-  --max-epochs "${AE_EPOCHS:-40}" -b 128 --eval-every 20 --device-representation
+  --max-epochs "${AE_EPOCHS:-40}" -b 128 --eval-every 20 --device-representation \
+  --checkpoint-every 10
 
 stage "precompute latents"
 run_watched $PY -m tqdne_tpu.cli.precompute_latents --workdir "$W" --config latent_edm
 
 stage "train latent EDM (flagship)"
 run_watched $PY -m tqdne_tpu.cli.train latent_edm --workdir "$W" \
-  --max-epochs "${EDM_EPOCHS:-150}" -b 256 --cached-latents --eval-every 25
+  --max-epochs "${EDM_EPOCHS:-100}" -b 256 --cached-latents --eval-every 25 \
+  --checkpoint-every 25
 
 stage "train classifier"
 run_watched $PY -m tqdne_tpu.cli.train classifier --workdir "$W" \
-  --max-epochs "${CLF_EPOCHS:-30}" -b 64 --eval-every 99 --device-representation
+  --max-epochs "${CLF_EPOCHS:-30}" -b 64 --eval-every 99 --device-representation \
+  --checkpoint-every 10
 
 RUN=Latent-EDM-32x32x8-LogSpectrogram
 stage "evaluate (sampled vs target HDF5, test split)"

@@ -410,6 +410,11 @@ def add_common_args(parser):
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="checkpoint period in epochs (default 1, reference parity; "
+                             "raise it when the epoch is short — each save device_gets "
+                             "the full train state, which dominates short epochs on a "
+                             "remote-attached chip)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cached-latents", action="store_true",
                         help="latent recipes: read precomputed AE moments "

@@ -325,7 +325,7 @@ def run(recipe_key: str, args):
         max_epochs=epochs, max_steps=args.max_steps,
         extra_args=extra, callbacks=callbacks, seed=args.seed,
         project=config.project_name, lr_schedule=lr_schedule,
-        hparams=hparams,
+        hparams=hparams, checkpoint_every_epochs=args.checkpoint_every,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
@@ -391,6 +391,7 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
         metric_postprocess=metric_post,
         hparams={"kind": "classifier", "encoder": enc_cfg,
                  "num_classes": config.num_classes},
+        checkpoint_every_epochs=args.checkpoint_every,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
