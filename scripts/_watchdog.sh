@@ -28,8 +28,8 @@ run_watched() {
         break
       fi
     done
-    wait "$pid" 2>/dev/null
-    local rc=$?
+    local rc=0
+    wait "$pid" 2>/dev/null || rc=$?  # '||' keeps set -e from killing the script
     cat "$out"; rm -f "$out"
     if [ "$rc" -eq 0 ]; then return 0; fi
     echo "--- stage attempt $attempt exited rc=$rc, retrying ---"

@@ -368,3 +368,21 @@ def test_max_steps_midepoch_progress(h5path, mesh, tmp_path):
     progress = json.loads((tmp_path / "run" / "checkpoints" / "progress.json").read_text())
     assert progress["epoch"] == 0
     assert progress["step"] == 1
+
+
+def test_train_state_create_no_aliasing():
+    """TrainState.create builds in ONE jitted program (eager per-leaf
+    copies flooded the remote compile tunnel) and its outputs must not
+    alias: the train step donates the state, and aliased ema/params would
+    be donated twice."""
+    params = {"w": jnp.ones((8, 8)), "b": jnp.zeros((8,))}
+    tx = make_optimizer("adam", 1e-3)
+    state = TrainState.create(params, tx)
+    ptr = lambda x: x.unsafe_buffer_pointer()  # noqa: E731
+    assert ptr(state.params["w"]) != ptr(state.ema_params["w"])
+    assert ptr(state.params["w"]) != ptr(params["w"])
+    mu = state.opt_state[0].mu
+    nu = state.opt_state[0].nu
+    assert ptr(mu["w"]) != ptr(nu["w"])
+    np.testing.assert_array_equal(np.asarray(state.ema_params["w"]), np.ones((8, 8)))
+    assert int(state.step) == 0

@@ -26,15 +26,24 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
-        return cls(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            # materialize a distinct copy: ema and live params must not alias
-            # (the train step donates the state; aliased buffers would be
-            # donated twice)
-            ema_params=jax.tree_util.tree_map(lambda x: x.copy(), params),
-            opt_state=tx.init(params),
-        )
+        # ONE jitted program for the whole state build.  Eager per-leaf
+        # copy/zeros dispatch ~dozens of micro-compiles through the remote
+        # compile tunnel, where a dropped response wedges the process
+        # forever (observed on the flagship quality run).  Verified: jit
+        # outputs never alias each other or the inputs, so ema/params stay
+        # donation-safe distinct buffers.
+        def build(p):
+            return cls(
+                step=jnp.zeros((), jnp.int32),
+                params=p,
+                # materialize a distinct copy: ema and live params must not
+                # alias (the train step donates the state; aliased buffers
+                # would be donated twice)
+                ema_params=jax.tree_util.tree_map(jnp.copy, p),
+                opt_state=tx.init(p),
+            )
+
+        return jax.jit(build)(params)
 
 
 def ema_update(ema_params, params, decay: float):
