@@ -69,6 +69,21 @@ def run(args):
     sig_shape = common.signal_shape(config)
     ae_vars = common.load_ae_variables(config, ae_name, ae, sig_shape)
 
+    out_path_probe = latents_path(config, ae_name)
+    if out_path_probe.exists() and not getattr(args, "force", False):
+        # idempotent re-runs (pipeline retries): skip when the sidecar
+        # already matches these exact AE weights; a corrupt/truncated file
+        # (killed mid-write) falls through to a full rewrite
+        try:
+            with h5py.File(out_path_probe, "r", locking=False) as f:
+                complete = f["latent_mean"].shape[0] == f.attrs.get("n_rows_written", -1)
+                if complete and str(f.attrs.get("ae_fingerprint", "")) == \
+                        ae_fingerprint(ae_vars):
+                    print(f"latents up to date for these AE weights -> {out_path_probe}")
+                    return out_path_probe
+        except (OSError, KeyError):
+            pass
+
     representation = config.make_representation()
     dev_rep = device_representation_fn(representation)
 
@@ -104,6 +119,7 @@ def run(args):
             std_ds[s : s + len(m)] = ls
             done += len(m)
             print(f"latent moments {done}/{n}", flush=True)  # watchdog heartbeat
+        dst.attrs["n_rows_written"] = done  # completeness marker for re-runs
         print(f"wrote {done} latent moment rows -> {out_path}")
     return out_path
 
@@ -119,6 +135,8 @@ def main(argv=None):
     # moments would quietly degrade an f32 cached-latents training run)
     parser.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"])
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--force", action="store_true",
+                        help="recompute even when the sidecar matches the AE weights")
     args = parser.parse_args(argv)
     common.setup_logging()
     run(args)
