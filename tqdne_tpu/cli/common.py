@@ -246,8 +246,14 @@ class InferenceBundle:
         self.representation = representation
         self.sig_shape = sig_shape  # channels-last, no batch
         self.model_shape = model_shape  # channels-last latent/signal shape, no batch
-        self.params = params
-        self.ae_vars = ae_vars
+        # params/ae_vars arrive as HOST numpy trees (orbax restore); they ride
+        # as jit ARGUMENTS (see jit_sample), so without an explicit device_put
+        # every sampling call would re-upload the full weight tree through the
+        # axon tunnel (~62 MB for the 1D UNet — measured 2-4 s/call, dwarfing
+        # the 40 ms of device compute for few-eval consistency sampling).
+        # Pin them on device once here.
+        self.params = jax.device_put(params)
+        self.ae_vars = jax.device_put(ae_vars) if ae_vars is not None else None
         self._raw_sample = raw_sample
         self._jit_cache = {}
 
@@ -277,10 +283,15 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     run_name: str | None = None, ae_name: str | None = None,
                     edm_checkpoint: str | None = None,
                     autoencoder_checkpoint: str | None = None,
-                    solver: str = "heun") -> InferenceBundle:
+                    solver: str = "heun", int8: bool = False) -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
     1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
-    deriving all shapes from the config + AE."""
+    deriving all shapes from the config + AE.
+
+    ``int8=True``: quality-gated fast mode — the SAMPLING program (UNet +
+    AE decode) traces with int8 MXU convolutions (nn/quant.py); other
+    programs in the process (classifier metrics, training) stay f32/bf16.
+    """
     from tqdne_tpu.cli.train import RECIPES  # late import: train imports common
 
     recipe = RECIPES[recipe_key]
@@ -367,9 +378,15 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         _, _, sample_fn = make_edm_steps(unet, tx=None, autoencoder=ae,
                                          num_sampling_steps=num_steps)
 
+        # pre-cast weights once before the sampling scan when computing in
+        # bf16 (removes 2N-1 in-loop f32->bf16 full-param casts, pure HBM
+        # traffic — same option bench.py uses; measured 146 -> ~196 wf/s on
+        # the flagship latent sampler)
+        cast = dtype if dtype == jnp.bfloat16 else None
+
         def raw_sample(params, ae_vars, key, shape, cond):
             return sample_fn(params, key, shape, cond=cond, ae_vars=ae_vars,
-                             solver=solver)
+                             solver=solver, cast_params=cast)
     elif recipe.kind == "consistency":
         from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 
@@ -380,6 +397,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         refine_sigmas = (1.0,) * max(0, num_steps - 1)
 
         def raw_sample(params, ae_vars, key, shape, cond):
+            if dtype == jnp.bfloat16:  # one up-front cast (see edm branch)
+                params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
             return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond)
     elif recipe.kind == "ddpm":
         from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
@@ -390,6 +409,17 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
             return sample_fn(params, key, shape, cond=cond)
     else:  # pragma: no cover
         raise ValueError(recipe.kind)
+
+    if int8:
+        from tqdne_tpu.nn.quant import int8_scope
+
+        inner_sample = raw_sample
+
+        def raw_sample(params, ae_vars, key, shape, cond):
+            # the scope is live while jit traces this body, so every
+            # conv_nd in the sampler's trace picks the QuantConv path
+            with int8_scope():
+                return inner_sample(params, ae_vars, key, shape, cond)
 
     return InferenceBundle(recipe_key, recipe, config, representation, sig_shape,
                            model_shape, params, ae_vars, raw_sample)

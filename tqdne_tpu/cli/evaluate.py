@@ -85,8 +85,16 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="match a --tiny-trained run's model widths")
+    parser.add_argument("--int8", action="store_true",
+                        help="quality-gated fast mode: int8 MXU convolutions "
+                             "(see nn/quant.py; measures the mode's quality delta "
+                             "through the standard report machinery)")
     args = parser.parse_args(argv)
     common.setup_logging()
+    if args.int8:
+        import os
+
+        os.environ["TQDNE_INT8_CONV"] = "1"  # read by conv_nd at trace time
     from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()

@@ -107,9 +107,17 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="match a --tiny-trained run's model widths")
+    parser.add_argument("--int8", action="store_true",
+                        help="quality-gated fast mode: int8 MXU convolutions (2x bf16 "
+                             "TOPS on v5e; ~1%% per-layer quantization noise — see "
+                             "nn/quant.py and the measured delta in BENCH_NOTES.md)")
     args = parser.parse_args(argv)
 
     common.setup_logging()
+    if args.int8:
+        import os
+
+        os.environ["TQDNE_INT8_CONV"] = "1"  # read by conv_nd at trace time
     import h5py
 
     if args.solver == "consistency" and args.config == "latent_edm":
