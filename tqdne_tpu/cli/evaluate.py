@@ -91,19 +91,19 @@ def main(argv=None):
                              "through the standard report machinery)")
     args = parser.parse_args(argv)
     common.setup_logging()
-    if args.int8:
-        import os
-
-        os.environ["TQDNE_INT8_CONV"] = "1"  # read by conv_nd at trace time
     from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
     import h5py
 
     dtype = common.parse_dtype(args.dtype)
+    # int8 uses the SCOPED mode (build_inference traces only the sampler
+    # with QuantConv) rather than the TQDNE_INT8_CONV env var: the
+    # classifier embeddings computed below must stay f32/bf16 so the FID
+    # delta isolates the sampler's quantization, not the metric's.
     bundle = common.build_inference(
         args.config, args.workdir, dtype, num_steps=args.num_steps, tiny=args.tiny,
-        run_name=args.name, ae_name=args.ae_name, solver=args.solver,
+        run_name=args.name, ae_name=args.ae_name, solver=args.solver, int8=args.int8,
     )
     config, representation = bundle.config, bundle.representation
     run_name = args.name or bundle.recipe.name

@@ -114,10 +114,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     common.setup_logging()
-    if args.int8:
-        import os
-
-        os.environ["TQDNE_INT8_CONV"] = "1"  # read by conv_nd at trace time
     import h5py
 
     if args.solver == "consistency" and args.config == "latent_edm":
@@ -142,7 +138,7 @@ def main(argv=None):
         run_name=args.name, ae_name=args.ae_name,
         edm_checkpoint=args.edm_checkpoint,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
-        solver=args.solver,
+        solver=args.solver, int8=args.int8,
     )
     config, representation = bundle.config, bundle.representation
     t_out = bundle.t
