@@ -391,15 +391,15 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 
         _, _, sample_fn = make_consistency_steps(unet, tx=None, cfg=ConsistencyConfig(),
-                                                 max_steps=1)
+                                                 max_steps=1, autoencoder=ae)
         # num_steps = total network evals: one sigma_max shot + N-1
         # refinement passes at sigma=1 (consistency_model.py:81-106 default)
         refine_sigmas = (1.0,) * max(0, num_steps - 1)
+        cast = dtype if dtype == jnp.bfloat16 else None
 
         def raw_sample(params, ae_vars, key, shape, cond):
-            if dtype == jnp.bfloat16:  # one up-front cast (see edm branch)
-                params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
-            return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond)
+            return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond,
+                             ae_vars=ae_vars, cast_params=cast)
     elif recipe.kind == "ddpm":
         from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
 

@@ -81,7 +81,7 @@ def main(argv=None):
                         help="load our orbax checkpoints from this workdir's outputs/")
     parser.add_argument("--config", type=str, default="latent_edm",
                         help="recipe/config name (as in tqdne-train): latent_edm, edm, "
-                             "1d_edm, 1d_latent_edm, consistency, ddpm")
+                             "1d_edm, 1d_latent_edm, consistency, latent_consistency, ddpm")
     parser.add_argument("--name", type=str, default=None,
                         help="run name under outputs/ (default: the recipe's run name)")
     parser.add_argument("--ae-name", type=str, default=None)
@@ -118,15 +118,17 @@ def main(argv=None):
 
     if args.solver == "consistency" and args.config == "latent_edm":
         # --solver consistency routes to the consistency-model family
-        # (a separate trained run), not an EDM ODE solver
-        args.config = "consistency"
-    if args.solver == "consistency" and args.config != "consistency":
+        # (a separate trained run), not an EDM ODE solver; the flagship
+        # maps to its latent-space consistency counterpart
+        args.config = "latent_consistency"
+    if args.solver == "consistency" and args.config not in ("consistency",
+                                                            "latent_consistency"):
         raise SystemExit(
             "--solver consistency samples a consistency-model run; use it with "
-            "--config consistency (or omit --config)"
+            "--config consistency / latent_consistency (or omit --config)"
         )
     if args.num_steps is None:
-        args.num_steps = 2 if args.config == "consistency" else 25
+        args.num_steps = 2 if args.config in ("consistency", "latent_consistency") else 25
 
     dtype = common.parse_dtype(args.dtype)
     cond_raw = read_conditioning(args)

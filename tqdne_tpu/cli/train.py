@@ -12,6 +12,7 @@ architectures, optimizers, schedules, epoch counts and batch sizes:
   latent_edm      Latent-EDM-32x32x8-LogSpectrogram  train_latent_edm.py (flagship)
   classifier      Classifier-LogSpectrogram          train_classifier.py
   consistency     Consistency-MovingAvg              consistency_model.py (standalone)
+  latent_consistency  Latent-Consistency-32x32x8-LogSpectrogram  (beyond reference)
   ddpm            DDPM-MovingAvg                     diffusion.py (legacy)
 
 TPU-native differences: one process drives the whole device mesh
@@ -81,6 +82,13 @@ RECIPES: dict[str, Recipe] = {
         "Consistency-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256,
         kind="consistency", optimizer="radam",
     ),
+    # beyond reference: consistency distillation target in the flagship's
+    # frozen-VAE latent space — few-eval sampling of 128x128 spectrograms
+    "latent_consistency": Recipe(
+        "Latent-Consistency-32x32x8-LogSpectrogram", configs.LatentSpectrogramConfig, 2,
+        200, 256, latent=True, ae_name="Autoencoder-32x32x4-LogSpectrogram",
+        kind="consistency", optimizer="radam",
+    ),
     "ddpm": Recipe("DDPM-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256,
                    kind="ddpm", optimizer="adamw"),
 }
@@ -108,14 +116,16 @@ def run(recipe_key: str, args):
     # no-ops)
     device_rep = None
     if getattr(args, "device_representation", False) and recipe.kind not in (
-        "edm", "autoencoder", "classifier"
+        "edm", "autoencoder", "classifier", "consistency"
     ):
         raise SystemExit(
-            "--device-representation is supported for EDM, autoencoder and "
-            "classifier recipes"
+            "--device-representation is supported for EDM, consistency, "
+            "autoencoder and classifier recipes"
         )
-    if getattr(args, "cached_latents", False) and not (recipe.latent and recipe.kind == "edm"):
-        raise SystemExit("--cached-latents needs a latent EDM recipe")
+    if getattr(args, "cached_latents", False) and not (
+        recipe.latent and recipe.kind in ("edm", "consistency")
+    ):
+        raise SystemExit("--cached-latents needs a latent EDM or consistency recipe")
 
     if recipe.kind == "classifier":
         return _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir)
@@ -246,7 +256,8 @@ def run(recipe_key: str, args):
             from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 
             train_step, eval_step, sample_fn = make_consistency_steps(
-                unet, tx, ConsistencyConfig(), max_steps
+                unet, tx, ConsistencyConfig(), max_steps, autoencoder=ae,
+                device_representation=device_rep, latent_moments=cached_latents,
             )
         elif recipe.kind == "ddpm":
             from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
@@ -273,7 +284,7 @@ def run(recipe_key: str, args):
             cond = jnp.asarray(batch_host["cond"]) if "cond" in batch_host else None
             n = len(batch_host.get("signal", batch_host["waveform"]))
             if n not in _cb_jit_cache:  # jit once per batch size (avoid retracing)
-                if recipe.kind == "edm" and recipe.latent:
+                if recipe.latent:  # edm AND consistency sample_fns take ae_vars
                     _cb_jit_cache[n] = jax.jit(
                         lambda p, k, c, av: sample_fn(p, k, (n, *model_shape), cond=c,
                                                       ae_vars=av)
@@ -283,7 +294,7 @@ def run(recipe_key: str, args):
                         lambda p, k, c: sample_fn(p, k, (n, *model_shape), cond=c)
                     )
             fn = _cb_jit_cache[n]
-            if recipe.kind == "edm" and recipe.latent:
+            if recipe.latent:
                 return fn(params, key, cond, extra[0])
             return fn(params, key, cond)
 

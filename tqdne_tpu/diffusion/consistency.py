@@ -55,7 +55,9 @@ def num_timesteps(cfg: ConsistencyConfig, step, max_steps: int):
     Returns the number of *grid points* = min(initial * 2^floor(k/s'), final) + 1.
     """
     doublings = jnp.floor(jnp.log2(jnp.floor(cfg.final_timesteps / cfg.initial_timesteps))) + 1
-    s_prime = jnp.floor(max_steps / doublings)
+    # max_steps < doublings (smoke runs) would give s_prime = 0 -> step/0
+    # = NaN poisoning the whole loss; clamp to 1 (doubling every step)
+    s_prime = jnp.maximum(jnp.floor(max_steps / doublings), 1.0)
     n = cfg.initial_timesteps * 2 ** jnp.floor(step / s_prime)
     return jnp.minimum(n, cfg.final_timesteps) + 1
 
@@ -172,13 +174,40 @@ def consistency_sample(
     return x
 
 
-def make_consistency_steps(unet, tx, cfg: ConsistencyConfig, max_steps: int, *, ema_decay=0.999):
+def make_consistency_steps(unet, tx, cfg: ConsistencyConfig, max_steps: int, *,
+                           ema_decay=0.999, autoencoder=None,
+                           device_representation=None, latent_moments=False):
     """(train_step, eval_step, sample_fn) factory in the tqdne_tpu.train
-    step convention; RAdam is the reference optimizer choice."""
+    step convention; RAdam is the reference optimizer choice.
+
+    Latent mode (beyond reference — the reference trains consistency only
+    on 1D envelopes, consistency_model.py): with ``autoencoder`` the model
+    learns consistency in the frozen-VAE latent space (flagship 8x32x32)
+    and ``sample_fn`` decodes — few-eval sampling at flagship quality.
+    ``latent_moments`` / ``device_representation`` follow the EDM factory
+    contract (train/steps.py:make_edm_steps): cached AE moments replace
+    the in-step encode; the signal transform runs inside the jitted step.
+    """
     from tqdne_tpu.train.state import TrainState, apply_updates
 
-    def _loss(params, batch, key, step):
-        key_drop, key_cm = jax.random.split(key)
+    latent = autoencoder is not None
+    if latent_moments and not latent:
+        raise ValueError("latent_moments requires an autoencoder (for decode)")
+
+    def _sample_of(batch, key, ae_vars):
+        if latent_moments:
+            mean, log_std = batch["latent_mean"], batch["latent_log_std"]
+            eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+            return mean + eps * jnp.exp(log_std)
+        x = batch["signal"] if device_representation is None else device_representation(
+            batch["waveform"])
+        if latent:
+            x = autoencoder.apply(ae_vars, x, method="encode", rngs={"sample": key})
+        return x
+
+    def _loss(params, batch, key, step, ae_vars):
+        key_ae, key_drop, key_cm = jax.random.split(key, 3)
+        sample = _sample_of(batch, key_ae, ae_vars)
 
         def teacher(x, sigma, c):
             return unet.apply(
@@ -190,29 +219,43 @@ def make_consistency_steps(unet, tx, cfg: ConsistencyConfig, max_steps: int, *, 
             return unet.apply(params, x, sigma, c, train=True, rngs={"dropout": key_drop})
 
         return consistency_loss(
-            cfg, teacher, student, key_cm, batch["signal"], step, max_steps,
+            cfg, teacher, student, key_cm, sample, step, max_steps,
             cond_signal=batch.get("cond_signal"), cond=batch.get("cond"),
         )
 
-    def train_step(state: TrainState, batch, key):
-        loss, grads = jax.value_and_grad(_loss)(state.params, batch, key, state.step)
+    def train_step(state: TrainState, batch, key, ae_vars=None):
+        loss, grads = jax.value_and_grad(_loss)(state.params, batch, key, state.step,
+                                                ae_vars)
         new_state = apply_updates(state, grads, tx, ema_decay)
         return new_state, {"loss": loss}
 
-    def eval_step(state: TrainState, batch, key):
+    def eval_step(state: TrainState, batch, key, ae_vars=None):
+        key_ae, key_cm = jax.random.split(key)
+        sample = _sample_of(batch, key_ae, ae_vars)
+
         def net(x, sigma, c):
             return unet.apply(state.ema_params, x, sigma, c)
 
         loss = consistency_loss(
-            cfg, net, net, key, batch["signal"], state.step, max_steps,
+            cfg, net, net, key_cm, sample, state.step, max_steps,
             cond_signal=batch.get("cond_signal"), cond=batch.get("cond"),
         )
         return {"loss": loss}
 
-    def sample_fn(params, key, shape, sigmas=(1.0,), cond=None, cond_signal=None):
+    def sample_fn(params, key, shape, sigmas=(1.0,), cond=None, cond_signal=None,
+                  ae_vars=None, cast_params=None):
+        """In latent mode ``shape`` is the LATENT shape and the output is
+        decoded to signal space.  ``cast_params``: pre-cast the weights
+        once (see make_edm_steps)."""
+        if cast_params is not None:
+            params = jax.tree_util.tree_map(lambda p: p.astype(cast_params), params)
+
         def net(x, sigma, c):
             return unet.apply(params, x, sigma, c)
 
-        return consistency_sample(cfg, net, key, shape, sigmas, cond_signal, cond)
+        out = consistency_sample(cfg, net, key, shape, sigmas, cond_signal, cond)
+        if latent:
+            out = autoencoder.apply(ae_vars, out.astype(jnp.float32), method="decode")
+        return out
 
     return train_step, eval_step, sample_fn
