@@ -18,8 +18,9 @@ round-2 bench printed anything, BENCH_r02.json rc=124):
     (flushed), before any secondary program compiles;
   - secondary metrics (dpmpp_2m, end-to-end Griffin-Lim) run only while
     a wall-clock budget allows, each fenced in try/except;
-  - the headline JSON is re-printed as the LAST line — the line the
-    driver parses — so any overrun or secondary failure cannot lose it.
+  - the headline JSON is re-printed after EVERY secondary and as the
+    LAST line — the line the driver parses — so a driver timeout at any
+    point still leaves the headline as the last complete JSON line.
 """
 
 from __future__ import annotations
@@ -209,6 +210,7 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# dpmpp secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
 
     # secondary: end-to-end to waveforms (sampling + decode + on-device
     # Griffin-Lim x128)
@@ -229,6 +231,7 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# e2e secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
 
     # secondary: 2-eval consistency sampling at the flagship shape (the
     # fewer-network-evals lever; quality evidence lives in the trained

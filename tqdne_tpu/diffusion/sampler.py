@@ -169,6 +169,7 @@ def sample(
     acc_dtype=jnp.float32,
     model_dtype=jnp.float32,
     solver: str = "heun",
+    eps_sharding=None,
 ) -> jax.Array:
     """Draw samples by integrating the EDM probability-flow ODE.
 
@@ -176,10 +177,17 @@ def sample(
     (minus the latent encode/decode, which the latent model composes
     around this).  solver: "heun" (reference semantics, 2N-1 evals) or
     "dpmpp_2m" (N evals, beyond reference; deterministic only).
+
+    ``eps_sharding``: optional sharding constraint on the initial noise —
+    seeds GSPMD's layout propagation so the whole scan runs with that
+    activation layout (e.g. parallel.spatial's batch-on-data /
+    spatial-axis-on-model serving layout).
     """
     sigmas = sampling_sigmas(cfg, num_steps, dtype=acc_dtype)
     key_eps, key_churn = jax.random.split(key)
     eps = jax.random.normal(key_eps, shape, dtype=acc_dtype) * sigmas[0]
+    if eps_sharding is not None:
+        eps = jax.lax.with_sharding_constraint(eps, eps_sharding)
     if solver == "dpmpp_2m":
         if not deterministic:
             raise ValueError("dpmpp_2m is a deterministic solver")

@@ -159,9 +159,14 @@ def make_edm_steps(
         acc_dtype=jnp.float32,
         cast_params=None,
         solver: str = "heun",
+        eps_sharding=None,
     ):
         """EDM Heun sampling; with an AE the given ``shape`` is the *latent*
         shape and the output is decoded to signal space (edm.py:146-169).
+
+        ``eps_sharding``: optional sharding constraint on the initial noise
+        (see diffusion.sampler.sample) — the hook for
+        parallel.spatial's small-batch serving layout.
 
         Use ``latent_shape(ae_cfg, signal_shape)`` or an encode dry-run to
         get the latent shape.
@@ -193,6 +198,7 @@ def make_edm_steps(
             deterministic=deterministic_sampling,
             acc_dtype=acc_dtype,
             solver=solver,
+            eps_sharding=eps_sharding,
         )
         if latent:
             out = autoencoder.apply(ae_vars, out.astype(jnp.float32), method="decode")
