@@ -48,6 +48,20 @@ def test_1d_edm_train_generate_evaluate(tmp_path):
     with h5py.File(out2) as f:
         assert f["waveforms"].shape == (2, 3, 4064)
 
+    # same CLI in the small-batch serving layout: batch (2) < devices (8),
+    # each sample's T axis split 4 ways over the (data, model) mesh
+    out3 = tmp_path / "gen_spatial.h5"
+    gen.main([
+        "--config", "1d_edm", "--workdir", wd, "--outfile", str(out3),
+        "--num_samples", "2", "--hypocentral_distance", "50", "--magnitude", "5.5",
+        "--vs30", "400", "--hypocentre_depth", "20", "--azimuthal_gap", "100",
+        "--batch_size", "2", "--num_steps", "2", "--tiny", "--dtype", "f32",
+        "--spatial", "4",
+    ])
+    with h5py.File(out3) as f:
+        assert f["waveforms"].shape == (2, 3, 4064)
+        assert np.isfinite(f["waveforms"][:]).mean() > 0.5
+
     # --- evaluate the same run (no classifier: spectrogram-only preset) ---
     from tqdne_tpu.cli import evaluate as ev
 

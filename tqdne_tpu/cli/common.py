@@ -239,7 +239,7 @@ class InferenceBundle:
     """
 
     def __init__(self, recipe_key, recipe, config, representation, sig_shape, model_shape,
-                 params, ae_vars, raw_sample):
+                 params, ae_vars, raw_sample, mesh=None):
         self.recipe_key = recipe_key
         self.recipe = recipe
         self.config = config
@@ -251,9 +251,15 @@ class InferenceBundle:
         # every sampling call would re-upload the full weight tree through the
         # axon tunnel (~62 MB for the 1D UNet — measured 2-4 s/call, dwarfing
         # the 40 ms of device compute for few-eval consistency sampling).
-        # Pin them on device once here.
-        self.params = jax.device_put(params)
-        self.ae_vars = jax.device_put(ae_vars) if ae_vars is not None else None
+        # Pin them on device once here (replicated over the serving mesh
+        # when spatial partitioning is on).
+        put = jax.device_put if mesh is None else (
+            lambda t: jax.device_put(
+                t, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        )
+        self.mesh = mesh
+        self.params = put(params)
+        self.ae_vars = put(ae_vars) if ae_vars is not None else None
         self._raw_sample = raw_sample
         self._jit_cache = {}
 
@@ -283,7 +289,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     run_name: str | None = None, ae_name: str | None = None,
                     edm_checkpoint: str | None = None,
                     autoencoder_checkpoint: str | None = None,
-                    solver: str = "heun", int8: bool = False) -> InferenceBundle:
+                    solver: str = "heun", int8: bool = False,
+                    spatial: int = 0) -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
     1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
     deriving all shapes from the config + AE.
@@ -291,6 +298,11 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
     ``int8=True``: quality-gated fast mode — the SAMPLING program (UNet +
     AE decode) traces with int8 MXU convolutions (nn/quant.py); other
     programs in the process (classifier metrics, training) stay f32/bf16.
+
+    ``spatial=K`` (K>1): small-batch serving layout — sample over a
+    2D ("data", "model") mesh of the local devices with each sample's
+    spatial extent split K ways (parallel/spatial.py), so a request batch
+    smaller than the chip count still uses every chip.  EDM recipes only.
     """
     from tqdne_tpu.cli.train import RECIPES  # late import: train imports common
 
@@ -372,6 +384,15 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                              f"`tqdne-train {recipe_key} --workdir {workdir}`)")
         params = restored[0]["ema_params"]
 
+    mesh = eps_sharding = None
+    if spatial and spatial > 1:
+        if recipe.kind != "edm":
+            raise SystemExit(f"--spatial serves EDM recipes only (got {recipe.kind})")
+        from tqdne_tpu.parallel.spatial import signal_sharding, spatial_mesh
+
+        mesh = spatial_mesh(model=spatial)
+        eps_sharding = signal_sharding(mesh, ndim=len(model_shape) + 1)
+
     if recipe.kind == "edm":
         from tqdne_tpu.train.steps import make_edm_steps
 
@@ -386,7 +407,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
 
         def raw_sample(params, ae_vars, key, shape, cond):
             return sample_fn(params, key, shape, cond=cond, ae_vars=ae_vars,
-                             solver=solver, cast_params=cast)
+                             solver=solver, cast_params=cast,
+                             eps_sharding=eps_sharding)
     elif recipe.kind == "consistency":
         from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
 
@@ -422,7 +444,7 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                 return inner_sample(params, ae_vars, key, shape, cond)
 
     return InferenceBundle(recipe_key, recipe, config, representation, sig_shape,
-                           model_shape, params, ae_vars, raw_sample)
+                           model_shape, params, ae_vars, raw_sample, mesh=mesh)
 
 
 def add_common_args(parser):

@@ -107,6 +107,11 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="match a --tiny-trained run's model widths")
+    parser.add_argument("--spatial", type=int, default=0,
+                        help="small-batch serving: split each sample's spatial extent "
+                             "K ways over a 2D (data, model) device mesh so a request "
+                             "batch smaller than the chip count still uses every chip "
+                             "(parallel/spatial.py; needs K | device count, EDM recipes)")
     parser.add_argument("--int8", action="store_true",
                         help="quality-gated fast mode: int8 MXU convolutions (2x bf16 "
                              "TOPS on v5e; ~1%% per-layer quantization noise — see "
@@ -140,7 +145,7 @@ def main(argv=None):
         run_name=args.name, ae_name=args.ae_name,
         edm_checkpoint=args.edm_checkpoint,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
-        solver=args.solver, int8=args.int8,
+        solver=args.solver, int8=args.int8, spatial=args.spatial,
     )
     config, representation = bundle.config, bundle.representation
     t_out = bundle.t
