@@ -453,6 +453,10 @@ def add_common_args(parser):
     parser.add_argument("-b", "--batchsize", type=int, default=None)
     parser.add_argument("-d", "--num-devices", type=int, default=None,
                         help="devices to use (default: all)")
+    parser.add_argument("--num-slices", type=int, default=None,
+                        help="multi-slice pods: train over a DCN-aware (replica, data) "
+                             "mesh with this many slices (default: auto-detect from "
+                             "MEGASCALE_NUM_SLICES / device slice info; 1 = flat mesh)")
     parser.add_argument("--max-epochs", type=int, default=None)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"],

@@ -105,7 +105,12 @@ def run(recipe_key: str, args):
     common.ensure_dataset(config, args.synthetic)
 
     dtype = common.parse_dtype(args.dtype)
-    mesh = make_mesh(args.num_devices)
+    if args.num_slices and args.num_slices > 1:
+        from tqdne_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(args.num_slices, args.num_devices)
+    else:
+        mesh = make_mesh(args.num_devices)
     batch = args.batchsize or recipe.batch
     epochs = args.max_epochs or recipe.epochs
 

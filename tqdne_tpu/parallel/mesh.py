@@ -100,8 +100,55 @@ def make_mesh(n_devices: int | None = None, axes: tuple[str, ...] = ("data",)) -
     return Mesh(dev_array, axes)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis; everything else replicated."""
+def make_hybrid_mesh(num_slices: int | None = None,
+                     n_devices: int | None = None) -> Mesh:
+    """DCN-aware ("replica", "data") mesh for multi-slice TPU pods.
+
+    Devices are ordered so the trailing `data` axis stays inside one
+    ICI-connected slice and the leading `replica` axis crosses slices over
+    DCN.  With the batch sharded over both axes and parameters replicated
+    (or FSDP-sharded over `data` only), XLA lowers the gradient all-reduce
+    hierarchically: wide reduce-scatter/all-gather inside each slice over
+    ICI plus one small cross-slice all-reduce over DCN — the standard
+    hierarchical data-parallel layout.  FSDP composes for free:
+    `fsdp_shardings(axis="data")` shards weights within a slice and
+    replicates them across slices, so weight all-gathers never cross DCN.
+
+    ``num_slices`` defaults to MEGASCALE_NUM_SLICES, then to the number of
+    distinct ``device.slice_index`` values.  Devices without slice info
+    (CPU/virtual test meshes) fall back to contiguous equal groups, which
+    preserves the semantics for testing.
+    """
+    import os
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if num_slices is None:
+        num_slices = int(os.environ.get("MEGASCALE_NUM_SLICES", "0") or 0) or None
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if num_slices is None:
+        num_slices = len(slice_ids) if None not in slice_ids else 1
+    if num_slices < 1 or len(devices) % num_slices:
+        raise ValueError(
+            f"num_slices={num_slices} must divide the device count {len(devices)}")
+    if None not in slice_ids:
+        # true multi-slice: group by the hardware slice, stable id order
+        devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+    dev_array = np.array(devices).reshape(num_slices, len(devices) // num_slices)
+    return Mesh(dev_array, ("replica", "data"))
+
+
+def batch_sharding(mesh: Mesh, axis: str | None = None) -> NamedSharding:
+    """Shard the leading (batch) axis; everything else replicated.
+
+    Default: shard over every data-parallel mesh axis — plain ``data``
+    meshes and hybrid ``("replica", "data")`` meshes both get the full
+    batch split (a hybrid mesh with the batch only on `data` would
+    silently replicate work across slices)."""
+    if axis is None:
+        names = [a for a in mesh.axis_names if a in ("replica", "data")]
+        axis = tuple(names) if len(names) > 1 else names[0]
     return NamedSharding(mesh, P(axis))
 
 
@@ -109,7 +156,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_batch(mesh: Mesh, batch, axis: str | None = None):
     """Device-put a (possibly nested) host batch with the leading axis sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
