@@ -23,8 +23,11 @@ EOF
 fi
 
 stage "train consistency model (iCT, long budget)"
+# checkpoint every 20 epochs: the axon relay occasionally wedges the
+# process mid-run (watchdog kills + retries); frequent saves turn a
+# retry into a resume instead of a from-scratch restart
 run_watched $PY -m tqdne_tpu.cli.train consistency --workdir "$W" \
-  --max-epochs "${CM_EPOCHS:-480}" -b 256 --eval-every 120 --checkpoint-every 60
+  --max-epochs "${CM_EPOCHS:-480}" -b 256 --eval-every 120 --checkpoint-every 20
 
 stage "evaluate consistency (test split, 2 network evals)"
 run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config consistency --split test -b 64 \

@@ -85,6 +85,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="match a --tiny-trained run's model widths")
+    parser.add_argument("--suffix", type=str, default="",
+                        help="appended to the output filename — keeps sweep variants "
+                             "(e.g. NFE/solver points) from overwriting each other")
     parser.add_argument("--int8", action="store_true",
                         help="quality-gated fast mode: int8 MXU convolutions "
                              "(see nn/quant.py; measures the mode's quality delta "
@@ -156,7 +159,7 @@ def main(argv=None):
 
     outdir = Path(args.workdir) / "evaluation"
     outdir.mkdir(parents=True, exist_ok=True)
-    outfile = outdir / f"{run_name}-split_{args.split}-rank_{rank}.h5"
+    outfile = outdir / f"{run_name}{args.suffix}-split_{args.split}-rank_{rank}.h5"
 
     n = len(all_idx)
     t = bundle.t
