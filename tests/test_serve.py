@@ -78,6 +78,30 @@ def test_seeded_requests_run_exclusively_and_deterministically():
     b.shutdown()
 
 
+def test_pipeline_overlaps_fetch_with_next_dispatch():
+    """The device owner must dispatch batch N+1 while batch N's (slow)
+    device->host fetch is still in flight on the finalizer thread."""
+    dispatched = []
+
+    def run_fn(key, cond):
+        dispatched.append(time.monotonic())
+        return np.zeros((len(cond), 3, 8), np.float32)
+
+    def fetch_fn(out):
+        time.sleep(0.15)  # simulated relay fetch
+        return out
+
+    b = serving.Microbatcher(run_fn, lambda x: x, 4, 8, max_delay_ms=1.0,
+                             fetch_fn=fetch_fn)
+    p1 = b.submit(np.zeros((4, 5), np.float32))  # full batch -> no window wait
+    p2 = b.submit(np.zeros((4, 5), np.float32))
+    assert p1.done.wait(10) and p2.done.wait(10)
+    assert len(dispatched) == 2
+    # overlapped: second dispatch well inside the first fetch's sleep
+    assert dispatched[1] - dispatched[0] < 0.15
+    b.shutdown()
+
+
 def test_error_propagates_to_caller():
     def run_fn(key, cond):
         raise RuntimeError("device on fire")

@@ -16,7 +16,13 @@ TPU serving constraints:
   batch within a small latency window, so throughput under load
   approaches the bench.py batched rate instead of batch-1 latency math;
 - **single device owner**: one worker thread issues all device work —
-  the natural JAX serving layout (no per-request GIL/device contention).
+  the natural JAX serving layout (no per-request GIL/device contention);
+- **two-stage pipeline**: the device owner exploits JAX async dispatch —
+  it launches batch N+1 before batch N's output has been fetched, while a
+  single finalizer thread pulls results to host, inverts the signal
+  representation, and scatters rows back to waiters. Device→host fetches
+  (the dominant host cost: ~12 MB per flagship batch) hide behind the
+  next batch's compute instead of idling the chip.
 
 Request seeds: a request with an explicit ``seed`` is sampled in its own
 device batch (bit-deterministic, repeatable); unseeded requests are
@@ -28,6 +34,7 @@ from __future__ import annotations
 import base64
 import json
 import logging
+import queue
 import threading
 import time
 from collections import deque
@@ -72,13 +79,19 @@ class Microbatcher:
 
     Decoupled from InferenceBundle for testability: needs only
     ``run_fn(key, cond[batch_size, F]) -> signal`` (channels-last device
-    output) and ``invert_fn(signal[channels-first numpy]) -> waveforms``.
+    output, async JAX handle or numpy) and
+    ``invert_fn(signal[channels-first numpy]) -> waveforms``; ``fetch_fn``
+    turns run_fn's output into a channels-first host array (the blocking
+    device→host pull — it runs on the finalizer thread so the device
+    owner can dispatch the next batch meanwhile).
     """
 
     def __init__(self, run_fn, invert_fn, batch_size: int, t_out: int,
-                 n_features: int = len(FEATURES), max_delay_ms: float = 15.0):
+                 n_features: int = len(FEATURES), max_delay_ms: float = 15.0,
+                 fetch_fn=None):
         self.run_fn = run_fn
         self.invert_fn = invert_fn
+        self.fetch_fn = fetch_fn or (lambda out: np.asarray(out, np.float32))
         self.batch_size = int(batch_size)
         self.t_out = int(t_out)
         self.n_features = n_features
@@ -87,11 +100,19 @@ class Microbatcher:
         self._queue: deque[_Chunk] = deque()
         self._counter = 0  # server-side key stream for unseeded requests
         self._stop = False
+        # depth-bounded dispatch→finalize pipeline: at most one batch queued
+        # between the device owner and the finalizer (plus the one each is
+        # holding) keeps 2-3 batches in flight without unbounded HBM growth
+        self._inflight: queue.Queue = queue.Queue(maxsize=1)
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="tqdne-serve-batcher")
+        self._finalizer = threading.Thread(target=self._finalize_loop,
+                                           daemon=True,
+                                           name="tqdne-serve-finalizer")
         self.batches_run = 0
         self.rows_served = 0
         self._worker.start()
+        self._finalizer.start()
 
     @classmethod
     def from_bundle(cls, bundle, batch_size: int, max_delay_ms: float = 15.0):
@@ -102,12 +123,12 @@ class Microbatcher:
         def invert(signal_cf: np.ndarray) -> np.ndarray:
             return rep.invert_representation(signal_cf)[..., :t_out]
 
-        def run_host(key, cond):
-            signal = np.asarray(run(key, cond), np.float32)
+        def fetch(signal) -> np.ndarray:
+            signal = np.asarray(signal, np.float32)
             return np.moveaxis(signal, -1, 1)  # channels-first for invert
 
-        return cls(run_host, invert, batch_size, t_out,
-                   max_delay_ms=max_delay_ms)
+        return cls(run, invert, batch_size, t_out,
+                   max_delay_ms=max_delay_ms, fetch_fn=fetch)
 
     # -- client side ------------------------------------------------------
 
@@ -178,19 +199,24 @@ class Microbatcher:
             return batch
 
     def _loop(self):
-        while True:
-            batch = self._take_batch()
-            if not batch:
-                return
-            try:
-                self._run_batch(batch)
-            except Exception as e:  # propagate to every waiting request
-                logger.exception("serving batch failed")
-                for c in batch:
-                    c.pending.error = e
-                    c.pending.done.set()
+        """Device owner: pack requests, dispatch the jitted sampler (async),
+        hand the in-flight handle to the finalizer."""
+        try:
+            while True:
+                batch = self._take_batch()
+                if not batch:
+                    return
+                try:
+                    handle = self._dispatch(batch)
+                except Exception as e:  # sync dispatch error (bad shapes etc.)
+                    logger.exception("serving dispatch failed")
+                    self._fail(batch, e)
+                    continue
+                self._inflight.put((batch, handle))
+        finally:
+            self._inflight.put(None)  # release the finalizer
 
-    def _run_batch(self, batch: list[_Chunk]):
+    def _dispatch(self, batch: list[_Chunk]):
         cond = np.concatenate([c.cond for c in batch])
         pad = self.batch_size - len(cond)
         if pad:
@@ -201,8 +227,24 @@ class Microbatcher:
         else:
             key = jax.random.fold_in(jax.random.key(0), self._counter)
             self._counter += 1
-        signal_cf = self.run_fn(key, cond)
-        waveforms = np.asarray(self.invert_fn(signal_cf), np.float32)
+        return self.run_fn(key, cond)
+
+    def _finalize_loop(self):
+        """Pull device results to host, invert, scatter to waiters — while
+        the device owner is already running the next batch."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, handle = item
+            try:
+                self._finalize(batch, handle)
+            except Exception as e:  # async device error surfaces at fetch
+                logger.exception("serving batch failed")
+                self._fail(batch, e)
+
+    def _finalize(self, batch: list[_Chunk], handle):
+        waveforms = np.asarray(self.invert_fn(self.fetch_fn(handle)), np.float32)
         self.batches_run += 1
         off = 0
         for c in batch:
@@ -214,17 +256,25 @@ class Microbatcher:
             p.out[c.offset:c.offset + m] = part
             off += m
             self.rows_served += m
-            # the LAST finished chunk releases the waiter (chunks of one
-            # request all run on this single worker thread, in order)
+            # the LAST finished chunk releases the waiter (dispatch is FIFO
+            # on one worker and finalize is FIFO on one finalizer, so chunks
+            # of a request complete in order)
             p.remaining -= 1
             if p.remaining == 0:
                 p.done.set()
+
+    @staticmethod
+    def _fail(batch: list[_Chunk], e: Exception):
+        for c in batch:
+            c.pending.error = e
+            c.pending.done.set()
 
     def shutdown(self):
         with self._cv:
             self._stop = True
             self._cv.notify_all()
         self._worker.join(timeout=10)
+        self._finalizer.join(timeout=10)
 
 
 # -- HTTP layer -------------------------------------------------------------
