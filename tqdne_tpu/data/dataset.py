@@ -345,4 +345,9 @@ def make_synthetic_dataset(
             (dist, mag, vs30, depth, azgap),
         ):
             f.create_dataset(name, data=arr)
+        # ground-truth phase arrivals (seconds) — extra keys beyond the
+        # storage contract; used to validate the STA/LTA picking fallback
+        # against known onsets (tests/test_preprocessing.py)
+        f.create_dataset("p_onset_s", data=p_onset)
+        f.create_dataset("s_onset_s", data=s_onset)
     return path
