@@ -135,6 +135,12 @@ def test_parse_conditions_forms():
     for bad in (None, [], [[1, 2]], [{"magnitude": 5}], "x"):
         with pytest.raises(serving.RequestError):
             serving.parse_conditions(bad)
+    # non-numeric values are a client error (HTTP 400), not a server 500
+    for bad in ([[1, 2, 3, 4, "abc"]],
+                [{"hypocentral_distance": None, "magnitude": 5.5, "vs30": 400,
+                  "hypocentre_depth": 20, "azimuthal_gap": 100}]):
+        with pytest.raises(serving.RequestError):
+            serving.parse_conditions(bad)
 
 
 def _post(url, payload):
@@ -192,6 +198,14 @@ def test_http_server_end_to_end(tmp_path):
         assert np.array_equal(wf, wf2, equal_nan=True)
 
         status, err = _post(base + "/generate", {"conditions": [[1, 2]]})
+        assert status == 400 and "error" in err
+
+        # non-integer seed and non-numeric conditioning are 400s, not 500s
+        status, err = _post(base + "/generate", {
+            "conditions": [[50, 5.5, 400, 20, 100]], "seed": "not-an-int"})
+        assert status == 400 and "seed" in err["error"]
+        status, err = _post(base + "/generate", {
+            "conditions": [[50, 5.5, 400, 20, "oops"]]})
         assert status == 400 and "error" in err
 
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:

@@ -291,9 +291,15 @@ def parse_conditions(payload) -> np.ndarray:
             if missing:
                 raise RequestError(
                     f"conditions[{i}] missing {', '.join(missing)}")
-            rows.append([float(row[k]) for k in FEATURES])
+            try:
+                rows.append([float(row[k]) for k in FEATURES])
+            except (TypeError, ValueError) as e:
+                raise RequestError(f"conditions[{i}]: non-numeric value ({e})")
         elif isinstance(row, (list, tuple)) and len(row) == len(FEATURES):
-            rows.append([float(v) for v in row])
+            try:
+                rows.append([float(v) for v in row])
+            except (TypeError, ValueError) as e:
+                raise RequestError(f"conditions[{i}]: non-numeric value ({e})")
         else:
             raise RequestError(
                 f"conditions[{i}] must be a {len(FEATURES)}-list or a dict "
@@ -345,7 +351,10 @@ def make_server(batcher: Microbatcher, normalize_fn, info: dict,
                 cond_raw = parse_conditions(req.get("conditions"))
                 seed = req.get("seed")
                 if seed is not None:
-                    seed = int(seed)
+                    try:
+                        seed = int(seed)
+                    except (TypeError, ValueError):
+                        raise RequestError(f"seed must be an integer, got {seed!r}")
                 cond = normalize_fn(cond_raw).astype(np.float32)
                 waveforms = batcher.generate(cond, seed=seed)
             except RequestError as e:
