@@ -96,8 +96,17 @@ def build_sampler(batch: int):
         return sample_fn(params, key, latent_shape, cond=cond, ae_vars=ae_vars,
                          cast_params=jnp.bfloat16, solver="dpmpp_2m")
 
+    @jax.jit
+    def run_dpmpp10(params, ae_vars, key):
+        # the recommended deployment point: best measured FID of any
+        # solver/step configuration (12.0 vs Heun-25's 22.0, NFE sweep in
+        # docs/quality/README.md) at 10 network evals
+        return sample_fn(params, key, latent_shape, cond=cond, ae_vars=ae_vars,
+                         cast_params=jnp.bfloat16, solver="dpmpp_2m", num_steps=10)
+
     return (lambda key: run(params, ae_vars, key),
-            lambda key: run_dpmpp(params, ae_vars, key))
+            lambda key: run_dpmpp(params, ae_vars, key),
+            lambda key: run_dpmpp10(params, ae_vars, key))
 
 
 def build_consistency_sampler(batch: int):
@@ -163,7 +172,7 @@ def main():
     # compilation cache (.jax_cache, prewarmed in-repo) keeps the first-run
     # compile cost bounded for the driver.
     batch = 64
-    run, run_dpmpp = build_sampler(batch)
+    run, run_dpmpp, run_dpmpp10 = build_sampler(batch)
 
     # warmup / compile.  Timing ends with a scalar fetch, not
     # block_until_ready: the relay's ready-notifications proved unreliable
@@ -210,6 +219,22 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# dpmpp secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary: dpmpp_2m at 10 steps — the recommended deployment point
+    # (best measured FID of any configuration, docs/quality NFE sweep)
+    if elapsed() < BUDGET:
+        try:
+            out = run_dpmpp10(jax.random.key(60))
+            float(out.sum())
+            t0 = time.perf_counter()
+            for i in range(5):
+                out = run_dpmpp10(jax.random.key(61 + i))
+            float(out.sum())
+            emit("sampled_waveforms_per_sec_per_chip_dpmpp2m_10step_latent2d",
+                 batch * 5 / (time.perf_counter() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# dpmpp10 secondary failed: {e}", flush=True)
         emit(*headline)  # keep the headline the last complete line
 
     # secondary: end-to-end to waveforms (sampling + decode + on-device
