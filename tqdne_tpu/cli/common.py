@@ -422,6 +422,16 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         def raw_sample(params, ae_vars, key, shape, cond):
             return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond,
                              ae_vars=ae_vars, cast_params=cast)
+    elif recipe.kind == "distill":
+        from tqdne_tpu.diffusion.distillation import make_distillation_steps
+
+        _, _, sample_fn = make_distillation_steps(unet, tx=None, autoencoder=ae)
+        refine_sigmas = (1.0,) * max(0, num_steps - 1)
+        cast = dtype if dtype == jnp.bfloat16 else None
+
+        def raw_sample(params, ae_vars, key, shape, cond):
+            return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond,
+                             ae_vars=ae_vars, cast_params=cast)
     elif recipe.kind == "ddpm":
         from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
 

@@ -67,7 +67,8 @@ def main(argv=None):
     parser.add_argument("--workdir", type=str, required=True)
     parser.add_argument("--config", type=str, default="latent_edm",
                         help="recipe/config name (as in tqdne-train): latent_edm, edm, "
-                             "1d_edm, 1d_latent_edm, consistency, latent_consistency, ddpm")
+                             "1d_edm, 1d_latent_edm, consistency, latent_consistency, "
+                             "latent_distill, ddpm")
     parser.add_argument("--split", type=str, default="test",
                         choices=["train", "validation", "test", "train_validation", "full"])
     parser.add_argument("-b", "--batchsize", type=int, default=32)

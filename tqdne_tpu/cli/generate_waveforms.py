@@ -81,7 +81,8 @@ def main(argv=None):
                         help="load our orbax checkpoints from this workdir's outputs/")
     parser.add_argument("--config", type=str, default="latent_edm",
                         help="recipe/config name (as in tqdne-train): latent_edm, edm, "
-                             "1d_edm, 1d_latent_edm, consistency, latent_consistency, ddpm")
+                             "1d_edm, 1d_latent_edm, consistency, latent_consistency, "
+                             "latent_distill, ddpm")
     parser.add_argument("--name", type=str, default=None,
                         help="run name under outputs/ (default: the recipe's run name)")
     parser.add_argument("--ae-name", type=str, default=None)
@@ -98,7 +99,7 @@ def main(argv=None):
                         help="sampling steps (default: 25 for EDM solvers; 2 total "
                              "network evals for the consistency solver)")
     parser.add_argument("--solver", type=str, default="heun",
-                        choices=["heun", "dpmpp_2m", "consistency"],
+                        choices=["heun", "dpmpp_2m", "consistency", "distill"],
                         help="heun = reference semantics (2N-1 UNet evals); dpmpp_2m = "
                              "2nd-order multistep, N evals (~2x faster, beyond reference); "
                              "consistency = 1-2 eval sampling from a consistency-model run "
@@ -126,14 +127,23 @@ def main(argv=None):
         # (a separate trained run), not an EDM ODE solver; the flagship
         # maps to its latent-space consistency counterpart
         args.config = "latent_consistency"
+    if args.solver == "distill" and args.config == "latent_edm":
+        # same routing for the teacher-distilled consistency student
+        args.config = "latent_distill"
     if args.solver == "consistency" and args.config not in ("consistency",
                                                             "latent_consistency"):
         raise SystemExit(
             "--solver consistency samples a consistency-model run; use it with "
             "--config consistency / latent_consistency (or omit --config)"
         )
+    if args.solver == "distill" and args.config != "latent_distill":
+        raise SystemExit(
+            "--solver distill samples a distilled-consistency run; use it with "
+            "--config latent_distill (or omit --config)"
+        )
+    few_eval = ("consistency", "latent_consistency", "latent_distill")
     if args.num_steps is None:
-        args.num_steps = 2 if args.config in ("consistency", "latent_consistency") else 25
+        args.num_steps = 2 if args.config in few_eval else 25
 
     dtype = common.parse_dtype(args.dtype)
     cond_raw = read_conditioning(args)

@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--ae-name", type=str, default=None)
     parser.add_argument("--solver", type=str, default="heun",
-                        choices=["heun", "dpmpp_2m", "consistency"])
+                        choices=["heun", "dpmpp_2m", "consistency", "distill"])
     parser.add_argument("--num_steps", "--num-steps", type=int, default=None)
     parser.add_argument("--batch_size", "--batch-size", type=int, default=32,
                         help="device batch size: the ONE compiled shape; requests "
@@ -55,8 +55,11 @@ def main(argv=None):
 
     if args.solver == "consistency" and args.config == "latent_edm":
         args.config = "latent_consistency"
+    if args.solver == "distill" and args.config == "latent_edm":
+        args.config = "latent_distill"
     if args.num_steps is None:
-        args.num_steps = 2 if args.config in ("consistency", "latent_consistency") else 25
+        args.num_steps = 2 if args.config in (
+            "consistency", "latent_consistency", "latent_distill") else 25
 
     bundle = common.build_inference(
         args.config, args.workdir, common.parse_dtype(args.dtype),

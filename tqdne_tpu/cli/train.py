@@ -89,6 +89,14 @@ RECIPES: dict[str, Recipe] = {
         200, 256, latent=True, ae_name="Autoencoder-32x32x4-LogSpectrogram",
         kind="consistency", optimizer="radam",
     ),
+    # beyond reference: consistency DISTILLATION from the trained flagship
+    # latent-EDM teacher (Song et al. 2023 CD) — few-eval sampling that
+    # inherits the teacher's quality instead of training from scratch
+    "latent_distill": Recipe(
+        "Latent-Distill-32x32x8-LogSpectrogram", configs.LatentSpectrogramConfig, 2,
+        80, 256, latent=True, ae_name="Autoencoder-32x32x4-LogSpectrogram",
+        kind="distill", optimizer="radam",
+    ),
     "ddpm": Recipe("DDPM-MovingAvg", configs.MovingAverageEnvelopeConfig, 1, 200, 256,
                    kind="ddpm", optimizer="adamw"),
 }
@@ -121,16 +129,18 @@ def run(recipe_key: str, args):
     # no-ops)
     device_rep = None
     if getattr(args, "device_representation", False) and recipe.kind not in (
-        "edm", "autoencoder", "classifier", "consistency"
+        "edm", "autoencoder", "classifier", "consistency", "distill"
     ):
         raise SystemExit(
             "--device-representation is supported for EDM, consistency, "
-            "autoencoder and classifier recipes"
+            "distill, autoencoder and classifier recipes"
         )
     if getattr(args, "cached_latents", False) and not (
-        recipe.latent and recipe.kind in ("edm", "consistency")
+        recipe.latent and recipe.kind in ("edm", "consistency", "distill")
     ):
-        raise SystemExit("--cached-latents needs a latent EDM or consistency recipe")
+        raise SystemExit(
+            "--cached-latents needs a latent EDM, consistency or distill recipe"
+        )
 
     if recipe.kind == "classifier":
         return _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir)
@@ -264,6 +274,45 @@ def run(recipe_key: str, args):
                 unet, tx, ConsistencyConfig(), max_steps, autoencoder=ae,
                 device_representation=device_rep, latent_moments=cached_latents,
             )
+        elif recipe.kind == "distill":
+            from tqdne_tpu.diffusion.distillation import make_distillation_steps
+            from tqdne_tpu.train.checkpoint import Checkpointer
+
+            teacher_name = getattr(args, "teacher", None) or recipe.name.replace(
+                "Distill", "EDM"
+            )
+            tckpt = Checkpointer(
+                config.outputdir / teacher_name / "checkpoints", create=False
+            )
+            restored = tckpt.restore_latest_raw()
+            if restored is None:
+                raise SystemExit(
+                    f"no teacher checkpoint under outputs/{teacher_name} — train "
+                    f"the EDM first (or pass --teacher RUN_NAME)"
+                )
+            stored = tckpt.restore_hyperparameters()
+            if stored is not None and "unet" in stored:
+                # the student must share the teacher's architecture (it is
+                # initialized from the teacher's weights); rebuild from the
+                # teacher run's STORED hyperparameters, not the preset
+                from tqdne_tpu.cli.common import _tuplify
+                from tqdne_tpu.models.unet import UNet
+
+                ucfg = _tuplify(stored["unet"])
+                unet = UNet(**ucfg, dtype=dtype)
+            # two separate device_puts of the host tree: the student's state
+            # is DONATED each step, so it must not share buffers with the
+            # frozen teacher
+            teacher_params = jax.device_put(restored[0]["ema_params"])
+            # student init = teacher weights (most of CD's advantage over
+            # from-scratch iCT comes from this initialization)
+            params = jax.device_put(restored[0]["ema_params"])
+            state = TrainState.create(params, tx)
+
+            train_step, eval_step, sample_fn = make_distillation_steps(
+                unet, tx, autoencoder=ae, device_representation=device_rep,
+                latent_moments=cached_latents,
+            )
         elif recipe.kind == "ddpm":
             from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
 
@@ -271,7 +320,10 @@ def run(recipe_key: str, args):
         else:
             raise ValueError(recipe.kind)
 
-        extra = (ae_vars,) if recipe.latent else ()
+        if recipe.kind == "distill":
+            extra = (ae_vars, teacher_params)
+        else:
+            extra = (ae_vars,) if recipe.latent else ()
 
         # sampling-eval callback (LogCallback parity): 2 val batches
         from tqdne_tpu.eval import metrics as M
@@ -305,6 +357,8 @@ def run(recipe_key: str, args):
 
         hparams = {"kind": recipe.kind, "dims": recipe.dims, "latent": recipe.latent,
                    "ae_name": recipe.ae_name, "unet": ucfg}
+        if recipe.kind == "distill":
+            hparams["teacher"] = teacher_name
 
         n_wave_ch = 3
         eval_plots = [P.SamplePlot(plot_target=True, fs=config.fs, channel=c)
@@ -418,6 +472,10 @@ def main(argv=None):
     for key in RECIPES:
         p = sub.add_parser(key)
         common.add_common_args(p)
+        if RECIPES[key].kind == "distill":
+            p.add_argument("--teacher", type=str, default=None,
+                           help="teacher run name under outputs/ (default: the "
+                                "matching EDM run)")
     args = parser.parse_args(argv)
     run(args.recipe, args)
 

@@ -1,0 +1,217 @@
+"""Consistency distillation (CD) from a trained EDM teacher.
+
+Beyond reference: the reference trains its consistency model from scratch
+with iCT (/root/reference/tqdne/consistency_model.py); distillation instead
+regresses a consistency student onto the probability-flow-ODE trajectory of
+an already-trained EDM denoiser (Song et al. 2023, "Consistency Models",
+arXiv 2303.01469 §4) and reaches substantially better few-eval quality at
+the same 1-2-eval sampling cost — the right tool once the flagship EDM
+exists.
+
+TPU-first design:
+
+- The whole loss — teacher Heun ODE step (2 frozen-teacher evals) + student
+  forward + EMA-target forward — is ONE jitted program; XLA overlaps the
+  three UNet applications' HBM traffic and keeps everything on the MXU.
+- The sigma grid is a STATIC ``n_grid``-point Karras grid (CD uses a fixed
+  discretization, unlike iCT's doubling schedule), so the timestep draw is
+  a plain uniform integer: no masked index spaces, no recompiles, and the
+  grid values fold into the compiled program as constants.
+- The student reuses the teacher's EDM input scaling c_in(sigma) and noise
+  conditioning 0.25*ln(sigma) (the paper's parameterization: only
+  c_skip/c_out change, with the sigma-min boundary offset) so a student
+  INITIALIZED from teacher weights starts from coherent activations —
+  that initialization is most of CD's advantage over from-scratch training.
+- Teacher parameters ride as a jitted-step ARGUMENT (replicated over the
+  mesh by the Trainer's extra_args machinery), never as a closure constant:
+  a 108M-param constant would blow the remote-compile payload limit and
+  defeat donation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tqdne_tpu.diffusion import edm as edm_lib
+from tqdne_tpu.diffusion.consistency import (
+    ConsistencyConfig,
+    consistency_forward,
+    sigma_grid_value,
+)
+from tqdne_tpu.utils import append_dims
+
+
+def edm_conditioned_net(unet, edm_cfg: edm_lib.EDMConfig, params, *, train=False,
+                        dropout_key=None):
+    """A ``net(x, sigma, cond)`` whose raw network sees the teacher's input
+    scaling and noise conditioning.
+
+    ``consistency_forward`` applies the CM boundary scalings c_skip/c_out
+    around this; the composition is exactly the CD parameterization
+    f(x, sigma) = c_skip(sigma)*x + c_out(sigma)*F(c_in(sigma)*x, 0.25 ln sigma).
+    """
+
+    def net(x, sigma, cond):
+        x_in = x * append_dims(edm_lib.in_scaling(edm_cfg, sigma), x.ndim)
+        t = edm_lib.noise_conditioning(edm_cfg, sigma)
+        if train:
+            return unet.apply(params, x_in, t, cond, train=True,
+                              rngs={"dropout": dropout_key})
+        return unet.apply(params, x_in, t, cond)
+
+    return net
+
+
+def teacher_heun_step(edm_cfg, teacher_denoise, x_hi, sigma_hi, sigma_lo, cond=None):
+    """One deterministic Heun PF-ODE step of the frozen teacher from
+    sigma_hi down to sigma_lo (> 0).  Two teacher evaluations, matching the
+    sampler's in-trajectory update (diffusion/sampler.py) without the final
+    sigma=0 segment."""
+    ndim = x_hi.ndim
+    h = append_dims(sigma_lo - sigma_hi, ndim)
+    d = (x_hi - teacher_denoise(x_hi, sigma_hi, cond)) / append_dims(sigma_hi, ndim)
+    x_euler = x_hi + h * d
+    d2 = (x_euler - teacher_denoise(x_euler, sigma_lo, cond)) / append_dims(sigma_lo, ndim)
+    return x_hi + h * 0.5 * (d + d2)
+
+
+def distillation_loss(
+    cm_cfg: ConsistencyConfig,
+    edm_cfg: edm_lib.EDMConfig,
+    teacher_denoise,
+    student_net,
+    target_net,
+    key: jax.Array,
+    sample: jax.Array,
+    n_grid: int,
+    *,
+    cond=None,
+):
+    """One CD loss evaluation.
+
+    Draw an interval i of the static N-point Karras grid uniformly (the CD
+    objective weights every interval equally, lambda == 1), diffuse to the
+    upper sigma, run one frozen-teacher Heun step down to the lower sigma,
+    and regress the student's consistency output at the upper point onto
+    the EMA target network's output at the teacher-solved lower point.
+    Pseudo-Huber distance (the iCT improvement, kept here — it dominates
+    L2 at this data scale and needs no feature extractor like LPIPS).
+    """
+    key_i, key_eps = jax.random.split(key)
+    batch = sample.shape[0]
+    i = jax.random.randint(key_i, (batch,), 0, n_grid - 1).astype(jnp.float32)
+    sigma_lo = sigma_grid_value(cm_cfg, i, float(n_grid))
+    sigma_hi = sigma_grid_value(cm_cfg, i + 1.0, float(n_grid))
+
+    eps = jax.random.normal(key_eps, sample.shape, dtype=sample.dtype)
+    x_hi = sample + eps * append_dims(sigma_hi, sample.ndim)
+
+    x_lo = jax.lax.stop_gradient(
+        teacher_heun_step(edm_cfg, teacher_denoise, x_hi, sigma_hi, sigma_lo, cond)
+    )
+    target = jax.lax.stop_gradient(
+        consistency_forward(cm_cfg, target_net, x_lo, sigma_lo, None, cond)
+    )
+    pred = consistency_forward(cm_cfg, student_net, x_hi, sigma_hi, None, cond)
+
+    sample_dim = 1
+    for s in sample.shape[1:-1]:
+        sample_dim *= s
+    c = cm_cfg.huber_c_scale * jnp.sqrt(float(sample_dim))
+    return jnp.mean(jnp.sqrt((pred - target) ** 2 + c**2) - c)
+
+
+def make_distillation_steps(
+    unet,
+    tx,
+    *,
+    cm_cfg: ConsistencyConfig = ConsistencyConfig(),
+    edm_cfg: edm_lib.EDMConfig = edm_lib.EDMConfig(),
+    n_grid: int = 18,
+    ema_decay: float = 0.95,
+    autoencoder=None,
+    device_representation=None,
+    latent_moments: bool = False,
+    teacher_unet=None,
+):
+    """(train_step, eval_step, sample_fn) in the tqdne_tpu.train step
+    convention; the steps take TWO extra pytrees: ``ae_vars`` (frozen VAE,
+    None for raw-signal distillation) and ``teacher_params`` (frozen EDM).
+
+    ``ema_decay`` doubles as the CD target-network decay mu (the paper's
+    mu = 0.95): the TrainState's fused EMA IS the target network, and —
+    matching the package convention that evaluation reads ema_params —
+    also the deployed student.
+
+    ``teacher_unet`` defaults to the student module (same architecture);
+    pass a different module to distill across architectures.
+
+    ``n_grid``: CD's fixed discretization N (paper: N = 18 on CIFAR-10).
+    """
+    from tqdne_tpu.train.state import TrainState, apply_updates
+
+    teacher_unet = teacher_unet if teacher_unet is not None else unet
+    latent = autoencoder is not None
+    if latent_moments and not latent:
+        raise ValueError("latent_moments requires an autoencoder (for decode)")
+
+    def _sample_of(batch, key, ae_vars):
+        if latent_moments:
+            mean, log_std = batch["latent_mean"], batch["latent_log_std"]
+            eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+            return mean + eps * jnp.exp(log_std)
+        x = batch["signal"] if device_representation is None else device_representation(
+            batch["waveform"])
+        if latent:
+            x = autoencoder.apply(ae_vars, x, method="encode", rngs={"sample": key})
+        return x
+
+    def _teacher_denoise(teacher_params):
+        def denoise(x, sigma, cond):
+            def net(xx, t, c):
+                return teacher_unet.apply(teacher_params, xx, t, c)
+
+            return edm_lib.precondition(edm_cfg, net, x, sigma, cond=cond)
+
+        return denoise
+
+    def _loss(params, ema_params, batch, key, ae_vars, teacher_params):
+        key_ae, key_drop, key_cd = jax.random.split(key, 3)
+        sample = _sample_of(batch, key_ae, ae_vars)
+        student = edm_conditioned_net(unet, edm_cfg, params, train=True,
+                                      dropout_key=key_drop)
+        target = edm_conditioned_net(unet, edm_cfg, jax.lax.stop_gradient(ema_params))
+        return distillation_loss(
+            cm_cfg, edm_cfg, _teacher_denoise(jax.lax.stop_gradient(teacher_params)),
+            student, target, key_cd, sample, n_grid, cond=batch.get("cond"),
+        )
+
+    def train_step(state: TrainState, batch, key, ae_vars=None, teacher_params=None):
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, state.ema_params, batch, key, ae_vars, teacher_params
+        )
+        new_state = apply_updates(state, grads, tx, ema_decay)
+        return new_state, {"loss": loss}
+
+    def eval_step(state: TrainState, batch, key, ae_vars=None, teacher_params=None):
+        loss = _loss(state.ema_params, state.ema_params, batch, key, ae_vars,
+                     teacher_params)
+        return {"loss": loss}
+
+    def sample_fn(params, key, shape, sigmas=(1.0,), cond=None, cond_signal=None,
+                  ae_vars=None, cast_params=None):
+        """Few-eval consistency sampling with the CD parameterization; in
+        latent mode ``shape`` is the latent shape and the output decodes to
+        signal space (consistency.consistency_sample semantics)."""
+        from tqdne_tpu.diffusion.consistency import consistency_sample
+
+        if cast_params is not None:
+            params = jax.tree_util.tree_map(lambda p: p.astype(cast_params), params)
+        net = edm_conditioned_net(unet, edm_cfg, params)
+        out = consistency_sample(cm_cfg, net, key, shape, sigmas, cond_signal, cond)
+        if latent:
+            out = autoencoder.apply(ae_vars, out.astype(jnp.float32), method="decode")
+        return out
+
+    return train_step, eval_step, sample_fn
