@@ -91,6 +91,14 @@ class BatchLoader:
             # slice the INDEX LIST before the HDF5 read, so each host reads
             # only its own rows (P hosts reading the full global batch and
             # discarding (P-1)/P of it was the round-2 judge's finding)
+            if len(batch_idx) % jax.process_count():
+                raise ValueError(
+                    f"global batch of {len(batch_idx)} rows is not divisible "
+                    f"by the {jax.process_count()} participating hosts; "
+                    f"{len(batch_idx) % jax.process_count()} rows would be "
+                    "silently dropped. Use a host-divisible batch size, or "
+                    "drop_last=True so the ragged final batch is skipped."
+                )
             per = len(batch_idx) // jax.process_count()
             s = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
             batch_idx = batch_idx[s]
