@@ -47,13 +47,46 @@ def elapsed() -> float:
     return time.perf_counter() - T0
 
 
-def emit(metric: str, value: float, vs_baseline: float = 1.0):
+HEADLINE_METRIC = "sampled_waveforms_per_sec_per_chip_edm_heun_latent2d"
+ANCHOR_PATH = Path(__file__).parent / "BENCH_ANCHOR.json"
+
+
+def _load_anchors() -> dict:
+    if ANCHOR_PATH.exists():
+        return json.loads(ANCHOR_PATH.read_text())
+    return {}
+
+
+def _anchor_for(metric: str, value: float) -> float | None:
+    """Per-metric first-measurement anchor (VERDICT r3 #4: every emitted
+    metric gets round-over-round regression detection, not just the
+    headline).  Legacy top-level "value" is the headline's anchor; all
+    others live under "metrics".  Unseen metrics are recorded as their
+    own anchor on first emission."""
+    anchors = _load_anchors()
+    if metric == HEADLINE_METRIC:
+        if anchors.get("value"):
+            return float(anchors["value"])
+        anchors["value"] = value
+        anchors.setdefault("note", "first recorded measurement (anchor)")
+    else:
+        m = anchors.setdefault("metrics", {})
+        if metric in m:
+            return float(m[metric])
+        m[metric] = value
+    ANCHOR_PATH.write_text(json.dumps(anchors, indent=1, sort_keys=True))
+    return None
+
+
+def emit(metric: str, value: float, unit: str = "waveforms/sec/chip"):
+    anchor = _anchor_for(metric, value)
+    vs_baseline = value / anchor if anchor else 1.0
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(value, 3),
-                "unit": "waveforms/sec/chip",
+                "unit": unit,
                 "vs_baseline": round(vs_baseline, 4),
             }
         ),
@@ -191,18 +224,7 @@ def main():
 
     wps = batch * iters / dt
 
-    anchor_path = Path(__file__).parent / "BENCH_ANCHOR.json"
-    vs_baseline = 1.0
-    if anchor_path.exists():
-        anchor = json.loads(anchor_path.read_text())
-        if anchor.get("value"):
-            vs_baseline = wps / float(anchor["value"])
-    else:
-        anchor_path.write_text(
-            json.dumps({"value": wps, "note": "first recorded measurement (anchor)"})
-        )
-
-    headline = ("sampled_waveforms_per_sec_per_chip_edm_heun_latent2d", wps, vs_baseline)
+    headline = (HEADLINE_METRIC, wps)
     emit(*headline)  # early print: never lose the headline to an overrun
 
     # secondary: DPM-Solver++(2M) (N evals vs Heun's 2N-1; beyond reference —
@@ -274,6 +296,20 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# consistency secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary: flagship training step throughput (BASELINE.json names
+    # "training samples/sec" as the companion headline; VERDICT r3 #3 —
+    # the driver-visible bench must carry it, not just bench_train.py)
+    if elapsed() < BUDGET:
+        try:
+            import bench_train
+
+            emit("train_samples_per_sec_per_chip_latent_edm",
+                 bench_train.measure(batch=128, iters=20),
+                 unit="samples/sec/chip")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# train secondary failed: {e}", flush=True)
 
     # LAST line = the headline — the one the driver parses
     emit(*headline)

@@ -11,7 +11,6 @@ Prints one JSON line:
 
 from __future__ import annotations
 
-import json
 import time
 
 import jax
@@ -23,7 +22,14 @@ enable_compilation_cache()
 enable_fast_prng()
 
 
-def main(batch: int = 128, iters: int = 30):
+def measure(batch: int = 128, iters: int = 30) -> float:
+    """Measure flagship latent-EDM training samples/sec/chip (one number).
+
+    Shared by the standalone CLI below and bench.py's budget-fenced
+    training secondary (VERDICT r3 #3: BASELINE.json names training
+    samples/sec as a companion headline, so the driver-visible bench
+    must emit it).
+    """
     # batch sweep (BENCH_NOTES round 2): 64 -> 1882, 128 -> 2127,
     # 256 -> 2169 samples/s; 128 is the knee (256 costs 2x memory for +2%)
     from tqdne_tpu import configs
@@ -65,13 +71,14 @@ def main(batch: int = 128, iters: int = 30):
         state, metrics = step(state, batch_data, jax.random.key(5 + i), ae_vars)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    print(json.dumps({
-        "metric": "train_samples_per_sec_per_chip_latent_edm",
-        "value": round(batch * iters / dt, 2),
-        "unit": "samples/sec/chip",
-        "vs_baseline": 1.0,
-    }))
+
+def main(batch: int = 128, iters: int = 30):
+    from bench import emit  # shared per-metric anchor / vs_baseline logic
+
+    emit("train_samples_per_sec_per_chip_latent_edm", measure(batch, iters),
+         unit="samples/sec/chip")
 
 
 if __name__ == "__main__":
