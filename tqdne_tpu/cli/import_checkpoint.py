@@ -49,8 +49,107 @@ def _ema_state_dict(ckpt: dict, base_sd: dict, prefix: str) -> dict | None:
     return merged
 
 
+def _verify_conversion(kind: str, base_sd: dict, variables: dict, cfgs, tol: float = 1e-4):
+    """Numerical torch<->JAX parity on the just-imported weights.
+
+    Rebuilds the reference torch module (the pip-installable ``tqdne``
+    package, the same code the released Zenodo weights were trained
+    with), loads the checkpoint state_dict into it, and asserts the
+    converted flax forward matches on a fixed random input to ``tol``
+    relative error.  This is the released-weights analogue of
+    tests/test_flagship_parity.py, runnable by any user with egress:
+    see scripts/verify_release_weights.sh.
+    """
+    import torch
+
+    from tqdne_tpu.utils.torch_convert import strip_prefix
+
+    try:
+        from tqdne.blocks import Decoder as RefDecoder
+        from tqdne.blocks import Encoder as RefEncoder
+        from tqdne.unet import UNetModel
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise SystemExit(
+            "--verify needs the reference 'tqdne' torch package on the "
+            f"path (pip install tqdne): {e}"
+        )
+
+    def to_torch(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    def to_last(x):
+        return np.moveaxis(x, 1, -1)
+
+    def check(got, want, what):
+        got, want = np.asarray(got), np.asarray(want)
+        rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-3)).max()
+        print(f"verify[{kind}/{what}]: max rel err {rel:.3e} (tol {tol:g})")
+        if rel > tol:
+            raise SystemExit(f"--verify FAILED for {kind}/{what}: {rel:.3e} > {tol:g}")
+
+    rng = np.random.default_rng(0)
+    if kind == "edm":
+        ucfg = cfgs
+        ref = UNetModel(**ucfg, flash_attention=False).eval()
+        ref.load_state_dict(to_torch(base_sd), strict=True)
+        x = rng.standard_normal((2, ucfg["in_channels"], 32, 32)).astype(np.float32)
+        t = rng.standard_normal(2).astype(np.float32)
+        cond = rng.standard_normal((2, ucfg["cond_features"])).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x), torch.tensor(t), torch.tensor(cond)).numpy()
+        from tqdne_tpu.models.unet import UNet
+
+        got = UNet(**ucfg).apply(
+            variables, jnp.asarray(to_last(x)), jnp.asarray(t), jnp.asarray(cond))
+        check(np.moveaxis(np.asarray(got), -1, 1), want, "unet_forward")
+    elif kind == "autoencoder":
+        enc_cfg, dec_cfg = cfgs
+        ref_enc = RefEncoder(**enc_cfg, flash_attention=False).eval()
+        ref_dec = RefDecoder(**dec_cfg, flash_attention=False).eval()
+        ref_enc.load_state_dict(to_torch(strip_prefix(base_sd, "encoder")), strict=True)
+        ref_dec.load_state_dict(to_torch(strip_prefix(base_sd, "decoder")), strict=True)
+        from tqdne_tpu.models.autoencoder import AutoencoderKL
+
+        ae = AutoencoderKL(encoder_config=enc_cfg, decoder_config=dec_cfg)
+        x = rng.standard_normal((1, enc_cfg["in_channels"], 128, 128)).astype(np.float32)
+        with torch.no_grad():
+            want_moments = ref_enc(torch.tensor(x)).numpy()
+        mean, logstd = ae.apply(variables, jnp.asarray(to_last(x)), method="moments")
+        got_moments = np.concatenate(
+            [np.moveaxis(np.asarray(mean), -1, 1), np.moveaxis(np.asarray(logstd), -1, 1)], axis=1)
+        check(got_moments, want_moments, "encoder_moments")
+        z = rng.standard_normal((1, dec_cfg["in_channels"], 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want_dec = ref_dec(torch.tensor(z)).numpy()
+        got_dec = ae.apply(variables, jnp.asarray(to_last(z)), method="decode")
+        check(np.moveaxis(np.asarray(got_dec), -1, 1), want_dec, "decoder")
+    elif kind == "classifier":
+        enc_cfg = cfgs
+        ref_enc = RefEncoder(**enc_cfg, flash_attention=False).eval()
+        ref_enc.load_state_dict(to_torch(strip_prefix(base_sd, "encoder")), strict=True)
+        x = rng.standard_normal((2, enc_cfg["in_channels"], 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            h = ref_enc(torch.tensor(x)).mean(dim=(2, 3))
+            # classifier.py:51-59 head: SiLU -> Linear -> SiLU -> Linear -> head
+            # (the Lightning wrapper needs lightning; compose from the
+            # state_dict with functional ops, as test_convert_autoencoder does)
+            w = {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in base_sd.items() if not k.startswith("encoder.")}
+            silu, linear = torch.nn.functional.silu, torch.nn.functional.linear
+            emb = linear(silu(linear(silu(h), w["output_MLP.1.weight"],
+                                     w["output_MLP.1.bias"])),
+                         w["output_MLP.3.weight"], w["output_MLP.3.bias"])
+            want = linear(emb, w["output_layer.weight"], w["output_layer.bias"]).numpy()
+        from tqdne_tpu.models.classifier import Classifier
+
+        n_classes = base_sd["output_layer.weight"].shape[0]
+        clf = Classifier(encoder_config=enc_cfg, num_classes=n_classes)
+        got = clf.apply(variables, jnp.asarray(to_last(x)))
+        check(got, want, "classifier_logits")
+
+
 def import_checkpoint(kind: str, ckpt_path: str, workdir: str, name: str | None = None,
-                      model_channels: int | None = None):
+                      model_channels: int | None = None, verify: bool = False):
     import torch
 
     from tqdne_tpu.train.checkpoint import Checkpointer
@@ -77,12 +176,18 @@ def import_checkpoint(kind: str, ckpt_path: str, workdir: str, name: str | None 
         params = convert_unet(base, ucfg)
         ema_sd = _ema_state_dict(ckpt, base, "unet")
         ema = convert_unet(ema_sd, ucfg) if ema_sd else params
+        if verify:
+            _verify_conversion("edm", base, params, ucfg)
+            if ema_sd:
+                _verify_conversion("edm", ema_sd, ema, ucfg)
     elif kind == "autoencoder":
         name = name or "Autoencoder-32x32x4-LogSpectrogram"
         enc_cfg, dec_cfg = configs.get_2d_autoencoder_configs(config)
         params = convert_autoencoder(sd, enc_cfg, dec_cfg)
         ema_sd = _ema_state_dict(ckpt, sd, "")
         ema = convert_autoencoder(ema_sd, enc_cfg, dec_cfg) if ema_sd else params
+        if verify:
+            _verify_conversion("autoencoder", sd, params, (enc_cfg, dec_cfg))
     elif kind == "classifier":
         name = name or "Classifier-LogSpectrogram"
         clf_cfg = configs.SpectrogramClassificationConfig(workdir=workdir)
@@ -90,6 +195,8 @@ def import_checkpoint(kind: str, ckpt_path: str, workdir: str, name: str | None 
         params = convert_classifier(sd, enc_cfg)
         ema_sd = _ema_state_dict(ckpt, sd, "")
         ema = convert_classifier(ema_sd, enc_cfg) if ema_sd else params
+        if verify:
+            _verify_conversion("classifier", sd, params, enc_cfg)
     else:
         raise SystemExit(f"unknown kind {kind}")
 
@@ -117,9 +224,14 @@ def main(argv=None):
     parser.add_argument("--ckpt", required=True, help="reference Lightning .ckpt path")
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--name", default=None, help="run name (defaults to flagship names)")
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="after conversion, rebuild the torch reference model from the "
+             "checkpoint and assert forward parity <=1e-4 on a fixed input "
+             "(needs the 'tqdne' torch package)")
     args = parser.parse_args(argv)
     common.setup_logging()
-    import_checkpoint(args.kind, args.ckpt, args.workdir, args.name)
+    import_checkpoint(args.kind, args.ckpt, args.workdir, args.name, verify=args.verify)
 
 
 if __name__ == "__main__":
