@@ -145,8 +145,30 @@ def build_sampler(batch: int):
 def build_consistency_sampler(batch: int):
     """2-eval consistency-model sampling at the flagship latent shape +
     VAE decode — the algorithmic lever beyond solver order (49 Heun evals
-    -> 2; /root/reference/tqdne/consistency_model.py:81-106).  Throughput
-    depends on architecture, not weights, so random init measures it."""
+    -> 2; /root/reference/tqdne/consistency_model.py:81-106).
+
+    Weights: when a trained distilled student exists in qrun/ (the quality
+    loop's workdir — the same model docs/quality's CD reports describe),
+    its checkpoint is loaded so the throughput number and the quality
+    evidence name the SAME run (VERDICT r3 weak #2); otherwise random
+    init, which measures the same program (throughput depends on
+    architecture, not weights)."""
+    distill_dir = Path(__file__).parent / "qrun" / "outputs" / \
+        "Latent-Distill-32x32x8-LogSpectrogram"
+    if distill_dir.exists():
+        try:
+            from tqdne_tpu.cli import common
+
+            bundle = common.build_inference(
+                "latent_distill", str(distill_dir.parent.parent),
+                jnp.bfloat16, num_steps=2)
+            run = bundle.jit_sample(batch)
+            cond = jnp.zeros((batch, 5))
+            print("# consistency secondary: trained CD student (qrun)", flush=True)
+            return lambda key: run(key, cond)
+        except Exception as e:  # pragma: no cover - qrun state varies
+            print(f"# consistency secondary: qrun restore failed ({e}); "
+                  "falling back to random init", flush=True)
     from tqdne_tpu import configs
     from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
     from tqdne_tpu.models.autoencoder import AutoencoderKL

@@ -83,6 +83,41 @@ def test_consistency_train_step_runs_and_is_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_consistency_sample_noise_conventions():
+    """'song' feeds the net on-distribution inputs (N(0, sigma_max^2) init,
+    variance-matched Gaussian refinement); 'reference' reproduces the
+    reference's unscaled init + uniform [0,1) refinement
+    (consistency_model.py:97-104)."""
+    seen = []
+
+    def spy_net(x, sigma, cond):
+        seen.append((np.asarray(x), float(np.asarray(sigma)[0])))
+        return jnp.zeros_like(x)
+
+    shape = (4, 2048, 1)
+    for mode in ("song", "reference"):
+        seen.clear()
+        cm.consistency_sample(CFG, spy_net, jax.random.key(0), shape,
+                              sigmas=(1.0,), noise=mode)
+        (x0, s0), (x1, s1) = seen
+        assert s0 == pytest.approx(CFG.sigma_max)
+        assert s1 == pytest.approx(1.0)
+        if mode == "song":
+            # init ~ N(0, sigma_max^2); refinement of the zero output
+            # ~ N(0, 1 - sigma_min^2) -> std ~1, mean ~0
+            assert x0.std() == pytest.approx(CFG.sigma_max, rel=0.05)
+            assert x1.std() == pytest.approx((1 - CFG.sigma_min**2) ** 0.5, rel=0.05)
+            assert abs(x1.mean()) < 0.05
+        else:
+            # init unscaled; uniform refinement has mean 1/2, std 1/sqrt(12)
+            assert x0.std() == pytest.approx(1.0, rel=0.05)
+            assert x1.mean() == pytest.approx(0.5, rel=0.1)
+            assert x1.std() == pytest.approx(12**-0.5, rel=0.05)
+
+    with pytest.raises(ValueError, match="noise mode"):
+        cm.consistency_sample(CFG, spy_net, jax.random.key(0), shape, noise="bogus")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -290,7 +290,9 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     edm_checkpoint: str | None = None,
                     autoencoder_checkpoint: str | None = None,
                     solver: str = "heun", int8: bool = False,
-                    spatial: int = 0) -> InferenceBundle:
+                    spatial: int = 0,
+                    consistency_noise: str = "song",
+                    refine_sigma: float = 1.0) -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
     1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
     deriving all shapes from the config + AE.
@@ -415,23 +417,27 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         _, _, sample_fn = make_consistency_steps(unet, tx=None, cfg=ConsistencyConfig(),
                                                  max_steps=1, autoencoder=ae)
         # num_steps = total network evals: one sigma_max shot + N-1
-        # refinement passes at sigma=1 (consistency_model.py:81-106 default)
-        refine_sigmas = (1.0,) * max(0, num_steps - 1)
+        # refinement passes at refine_sigma (consistency_model.py:81-106
+        # defaults sigma=1); consistency_noise: "song" (variance-matched,
+        # default) or "reference" (unscaled-init + uniform refinement)
+        refine_sigmas = (refine_sigma,) * max(0, num_steps - 1)
         cast = dtype if dtype == jnp.bfloat16 else None
 
         def raw_sample(params, ae_vars, key, shape, cond):
             return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond,
-                             ae_vars=ae_vars, cast_params=cast)
+                             ae_vars=ae_vars, cast_params=cast,
+                             noise=consistency_noise)
     elif recipe.kind == "distill":
         from tqdne_tpu.diffusion.distillation import make_distillation_steps
 
         _, _, sample_fn = make_distillation_steps(unet, tx=None, autoencoder=ae)
-        refine_sigmas = (1.0,) * max(0, num_steps - 1)
+        refine_sigmas = (refine_sigma,) * max(0, num_steps - 1)
         cast = dtype if dtype == jnp.bfloat16 else None
 
         def raw_sample(params, ae_vars, key, shape, cond):
             return sample_fn(params, key, shape, sigmas=refine_sigmas, cond=cond,
-                             ae_vars=ae_vars, cast_params=cast)
+                             ae_vars=ae_vars, cast_params=cast,
+                             noise=consistency_noise)
     elif recipe.kind == "ddpm":
         from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
 

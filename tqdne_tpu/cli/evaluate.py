@@ -93,6 +93,15 @@ def main(argv=None):
                         help="quality-gated fast mode: int8 MXU convolutions "
                              "(see nn/quant.py; measures the mode's quality delta "
                              "through the standard report machinery)")
+    parser.add_argument("--consistency-noise", type=str, default="song",
+                        choices=["song", "reference"],
+                        help="consistency/distill sampling convention: 'song' "
+                             "(variance-matched Gaussian, Song et al. 2023 Alg. 1) "
+                             "or 'reference' (the reference's unscaled init + "
+                             "uniform refinement, kept for parity)")
+    parser.add_argument("--refine-sigma", type=float, default=1.0,
+                        help="re-noising sigma for multistep consistency "
+                             "refinement passes (NFE >= 2)")
     args = parser.parse_args(argv)
     common.setup_logging()
     from tqdne_tpu.parallel.mesh import maybe_initialize_distributed
@@ -108,6 +117,7 @@ def main(argv=None):
     bundle = common.build_inference(
         args.config, args.workdir, dtype, num_steps=args.num_steps, tiny=args.tiny,
         run_name=args.name, ae_name=args.ae_name, solver=args.solver, int8=args.int8,
+        consistency_noise=args.consistency_noise, refine_sigma=args.refine_sigma,
     )
     config, representation = bundle.config, bundle.representation
     run_name = args.name or bundle.recipe.name

@@ -117,6 +117,10 @@ def main(argv=None):
                         help="quality-gated fast mode: int8 MXU convolutions (2x bf16 "
                              "TOPS on v5e; ~1%% per-layer quantization noise — see "
                              "nn/quant.py and the measured delta in BENCH_NOTES.md)")
+    parser.add_argument("--consistency-noise", type=str, default="song",
+                        choices=["song", "reference"],
+                        help="consistency/distill sampling convention (see "
+                             "tqdne-evaluate --help)")
     args = parser.parse_args(argv)
 
     common.setup_logging()
@@ -156,6 +160,7 @@ def main(argv=None):
         edm_checkpoint=args.edm_checkpoint,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
         solver=args.solver, int8=args.int8, spatial=args.spatial,
+        consistency_noise=args.consistency_noise,
     )
     config, representation = bundle.config, bundle.representation
     t_out = bundle.t

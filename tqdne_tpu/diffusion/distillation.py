@@ -200,7 +200,7 @@ def make_distillation_steps(
         return {"loss": loss}
 
     def sample_fn(params, key, shape, sigmas=(1.0,), cond=None, cond_signal=None,
-                  ae_vars=None, cast_params=None):
+                  ae_vars=None, cast_params=None, noise="song"):
         """Few-eval consistency sampling with the CD parameterization; in
         latent mode ``shape`` is the latent shape and the output decodes to
         signal space (consistency.consistency_sample semantics)."""
@@ -209,7 +209,8 @@ def make_distillation_steps(
         if cast_params is not None:
             params = jax.tree_util.tree_map(lambda p: p.astype(cast_params), params)
         net = edm_conditioned_net(unet, edm_cfg, params)
-        out = consistency_sample(cm_cfg, net, key, shape, sigmas, cond_signal, cond)
+        out = consistency_sample(cm_cfg, net, key, shape, sigmas, cond_signal, cond,
+                                 noise=noise)
         if latent:
             out = autoencoder.apply(ae_vars, out.astype(jnp.float32), method="decode")
         return out
