@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 CD retrain at 4x budget (VERDICT r3 #1 follow-through): the first
+# executed distillation run (160 epochs / 4320 steps, mu=0.95) measured
+# NFE1 FID 39.2 but NFE2 WORSE than NFE1 (121.8 reference-convention /
+# 73.7 song-convention) — the training-limited signature, not a sampler
+# bug (conventions were swept: rs in {0.5, 1, 2} moved FID < 3 points).
+# This run quadruples the budget and slows the target/deployment EMA to
+# mu=0.999 (Song 2023 uses 0.95 only for short runs; the EMA here is
+# also the deployed student, so the slow decay doubles as a deployment
+# average over the last ~1000 steps).
+#
+# Keeps the 160-epoch run's reports (already in qrun/evaluation) as the
+# budget-ablation row; archives its checkpoints under -short160.
+set -euo pipefail
+W=${W:-/root/repo/qrun}
+PY=${PY:-python}
+RUN=Latent-Distill-32x32x8-LogSpectrogram
+CAL="$W/evaluation/Latent-EDM-32x32x8-LogSpectrogram-split_train-rank_0.h5"
+cd /root/repo
+
+source "$(dirname "$0")/_watchdog.sh"
+
+test -f "$CAL" || { echo "run quality_loop.sh first"; exit 1; }
+
+if [ -d "$W/outputs/$RUN" ] && [ ! -d "$W/outputs/$RUN-short160" ]; then
+  mv "$W/outputs/$RUN" "$W/outputs/$RUN-short160"
+fi
+
+stage "distill 640 epochs, mu=0.999"
+run_watched $PY -m tqdne_tpu.cli.train latent_distill --workdir "$W" \
+  --max-epochs "${CD_EPOCHS:-640}" -b 256 --cached-latents --eval-every 80 \
+  --checkpoint-every 40 --ema-decay 0.999
+
+for NFE in 2 1; do
+  stage "evaluate long-budget student (song convention, $NFE evals)"
+  run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
+    --split test -b 64 --num-steps "$NFE" "--suffix=-long-nfe$NFE"
+  stage "report (long, nfe $NFE)"
+  run_watched $PY -m tqdne_tpu.eval.report \
+    "$W/evaluation/$RUN-long-nfe$NFE-split_test-rank_0.h5" \
+    --calibration-files "$CAL" \
+    --out "$W/evaluation/report_latent_distill_long_nfe$NFE.json"
+done
+
+stage "evaluate long-budget student (reference convention, 2 evals)"
+run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
+  --split test -b 64 --num-steps 2 --consistency-noise reference \
+  "--suffix=-long-ref-nfe2"
+run_watched $PY -m tqdne_tpu.eval.report \
+  "$W/evaluation/$RUN-long-ref-nfe2-split_test-rank_0.h5" \
+  --calibration-files "$CAL" \
+  --out "$W/evaluation/report_latent_distill_long_ref_nfe2.json"
+
+stage "round4 distill-long done"
