@@ -312,6 +312,7 @@ def run(recipe_key: str, args):
             train_step, eval_step, sample_fn = make_distillation_steps(
                 unet, tx, autoencoder=ae, device_representation=device_rep,
                 latent_moments=cached_latents,
+                ema_decay=getattr(args, "ema_decay", 0.95),
             )
         elif recipe.kind == "ddpm":
             from tqdne_tpu.diffusion.ddpm import DDPMConfig, make_ddpm_steps
@@ -476,6 +477,11 @@ def main(argv=None):
             p.add_argument("--teacher", type=str, default=None,
                            help="teacher run name under outputs/ (default: the "
                                 "matching EDM run)")
+            p.add_argument("--ema-decay", type=float, default=0.95,
+                           help="CD target-network decay mu (Song 2023 uses "
+                                "0.95 for short runs; raise towards 0.999 for "
+                                "longer budgets — the EMA doubles as the "
+                                "deployed student)")
     args = parser.parse_args(argv)
     run(args.recipe, args)
 
