@@ -142,10 +142,10 @@ def build_sampler(batch: int):
             lambda key: run_dpmpp10(params, ae_vars, key))
 
 
-def build_consistency_sampler(batch: int):
-    """2-eval consistency-model sampling at the flagship latent shape +
-    VAE decode — the algorithmic lever beyond solver order (49 Heun evals
-    -> 2; /root/reference/tqdne/consistency_model.py:81-106).
+def build_consistency_sampler(batch: int, num_steps: int = 2):
+    """num_steps-eval consistency-model sampling at the flagship latent
+    shape + VAE decode — the algorithmic lever beyond solver order (49 Heun
+    evals -> 1-2; /root/reference/tqdne/consistency_model.py:81-106).
 
     Weights: when a trained distilled student exists in qrun/ (the quality
     loop's workdir — the same model docs/quality's CD reports describe),
@@ -161,7 +161,7 @@ def build_consistency_sampler(batch: int):
 
             bundle = common.build_inference(
                 "latent_distill", str(distill_dir.parent.parent),
-                jnp.bfloat16, num_steps=2)
+                jnp.bfloat16, num_steps=num_steps)
             run = bundle.jit_sample(batch)
             cond = jnp.zeros((batch, 5))
             print("# consistency secondary: trained CD student (qrun)", flush=True)
@@ -169,6 +169,10 @@ def build_consistency_sampler(batch: int):
         except Exception as e:  # pragma: no cover - qrun state varies
             print(f"# consistency secondary: qrun restore failed ({e}); "
                   "falling back to random init", flush=True)
+    if num_steps != 2:
+        # the 1-eval point is only meaningful with the trained student
+        # (its quality rows live in docs/quality); skip on random init
+        return None
     from tqdne_tpu import configs
     from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
     from tqdne_tpu.models.autoencoder import AutoencoderKL
@@ -318,6 +322,25 @@ def main():
                  batch * 3 / (time.perf_counter() - t0))
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# consistency secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary: 1-eval distilled-student sampling (trained weights only —
+    # the quality evidence for this operating point is the CD table in
+    # docs/quality/README.md; skipped when no trained student is on disk)
+    if elapsed() < BUDGET:
+        try:
+            run_cd1 = build_consistency_sampler(batch, num_steps=1)
+            if run_cd1 is not None:
+                out = run_cd1(jax.random.key(300))
+                float(out.sum())
+                t0 = time.perf_counter()
+                for i in range(3):
+                    out = run_cd1(jax.random.key(301 + i))
+                float(out.sum())
+                emit("sampled_waveforms_per_sec_per_chip_cd1_latent2d",
+                     batch * 3 / (time.perf_counter() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# cd1 secondary failed: {e}", flush=True)
         emit(*headline)  # keep the headline the last complete line
 
     # secondary: flagship training step throughput (BASELINE.json names

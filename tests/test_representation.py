@@ -102,6 +102,18 @@ def test_log_spectrogram_griffin_lim_reconstruction(rng):
     assert rel < 0.35  # phase recovery keeps spectral content
 
 
+def test_config_griffin_lim_iters_plumbing():
+    """SpectrogramConfig.griffin_lim_iters reaches the representation (the
+    deployment knob behind tqdne-serve/--gl-iters; quality-vs-cost sweep in
+    docs/quality)."""
+    from tqdne_tpu import configs
+
+    cfg = configs.LatentSpectrogramConfig(workdir=".", griffin_lim_iters=16)
+    r = cfg.make_representation()
+    assert r.n_iter == 16
+    assert configs.LatentSpectrogramConfig(workdir=".").make_representation().n_iter == 128
+
+
 def test_jax_griffin_lim_matches_numpy_quality(rng):
     """Device Griffin-Lim reconstructs as well as the host version."""
     import jax

@@ -292,7 +292,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     solver: str = "heun", int8: bool = False,
                     spatial: int = 0,
                     consistency_noise: str = "song",
-                    refine_sigma: float = 1.0) -> InferenceBundle:
+                    refine_sigma: float = 1.0,
+                    gl_iters: int | None = None) -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
     1d_latent_edm, edm, latent_edm, consistency, ddpm) from its run dir,
     deriving all shapes from the config + AE.
@@ -312,6 +313,10 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
     if recipe.kind in ("autoencoder", "classifier"):
         raise SystemExit(f"recipe {recipe_key!r} has no sampler (kind={recipe.kind})")
     config = recipe.config_cls(workdir=workdir)
+    if gl_iters is not None:
+        if not hasattr(config, "griffin_lim_iters"):
+            raise SystemExit(f"recipe {recipe_key!r} has no Griffin-Lim inversion")
+        config.griffin_lim_iters = gl_iters
     representation = config.make_representation()
     sig_shape = signal_shape(config)
     tiny_mc = 32 if tiny else None

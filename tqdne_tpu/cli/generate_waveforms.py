@@ -121,6 +121,10 @@ def main(argv=None):
                         choices=["song", "reference"],
                         help="consistency/distill sampling convention (see "
                              "tqdne-evaluate --help)")
+    parser.add_argument("--gl-iters", type=int, default=None,
+                        help="Griffin-Lim iterations for waveform inversion "
+                             "(default: the representation's 128; see the "
+                             "measured quality-vs-cost sweep in docs/quality)")
     args = parser.parse_args(argv)
 
     common.setup_logging()
@@ -160,7 +164,7 @@ def main(argv=None):
         edm_checkpoint=args.edm_checkpoint,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
         solver=args.solver, int8=args.int8, spatial=args.spatial,
-        consistency_noise=args.consistency_noise,
+        consistency_noise=args.consistency_noise, gl_iters=args.gl_iters,
     )
     config, representation = bundle.config, bundle.representation
     t_out = bundle.t

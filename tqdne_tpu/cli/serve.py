@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--stats-from-dataset", action="store_true",
                         help="normalize conditioning with the workdir dataset stats "
                              "instead of the published summary table")
+    parser.add_argument("--gl-iters", type=int, default=None,
+                        help="Griffin-Lim iterations for waveform inversion "
+                             "(default: the representation's 128; see the "
+                             "measured quality-vs-cost sweep in docs/quality)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)
@@ -65,7 +69,7 @@ def main(argv=None):
         args.config, args.workdir, common.parse_dtype(args.dtype),
         num_steps=args.num_steps, tiny=args.tiny, run_name=args.name,
         ae_name=args.ae_name, solver=args.solver, int8=args.int8,
-        spatial=args.spatial,
+        spatial=args.spatial, gl_iters=args.gl_iters,
     )
 
     stats = (common.dataset_feature_stats(bundle.config) if args.stats_from_dataset

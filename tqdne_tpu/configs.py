@@ -53,12 +53,18 @@ class SpectrogramConfig(Config):
     hop_size: int = 32
     t: int | None = 4064
     griffin_lim_backend: str = "jax"  # invert on the accelerator by default
+    # 128 matches the reference's librosa default
+    # (/root/reference/tqdne/representation.py:106-108); the measured
+    # quality-vs-cost sweep (docs/quality/gl_iter_sweep) shows where
+    # fewer iterations are waveform-metric-equivalent for deployment.
+    griffin_lim_iters: int = 128
 
     def make_representation(self) -> rep.Representation:
         return rep.LogSpectrogram(
             stft_channels=self.stft_channels,
             hop_size=self.hop_size,
             backend=self.griffin_lim_backend,
+            n_iter=self.griffin_lim_iters,
             length=self.t or 4064,
         )
 
