@@ -68,7 +68,16 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
-    rep = LogSpectrogram(backend="jax", length=args.length)
+    # build the representation FROM the project config so n_fft/hop match
+    # the spectrograms in the eval HDF5 (hop 32; the LogSpectrogram default
+    # hop of stft_channels//4 = 64 would crash griffin_lim on 128-frame data)
+    from tqdne_tpu import configs
+
+    cfg = configs.LatentSpectrogramConfig(workdir=".")
+    rep = LogSpectrogram(
+        stft_channels=cfg.stft_channels, hop_size=cfg.hop_size,
+        backend="jax", length=args.length,
+    )
     pred_signal, target_wf = load_eval(args.eval_h5)
     n = len(pred_signal)
     mag = signal_to_mag(rep, pred_signal)

@@ -104,8 +104,8 @@ def test_log_spectrogram_griffin_lim_reconstruction(rng):
 
 def test_config_griffin_lim_iters_plumbing():
     """SpectrogramConfig.griffin_lim_iters reaches the representation (the
-    deployment knob behind tqdne-serve/--gl-iters; quality-vs-cost sweep in
-    docs/quality)."""
+    deployment knob behind tqdne-serve/--gl-iters; scripts/gl_iter_sweep.py
+    measures the quality-vs-cost trade-off)."""
     from tqdne_tpu import configs
 
     cfg = configs.LatentSpectrogramConfig(workdir=".", griffin_lim_iters=16)

@@ -123,8 +123,9 @@ def main(argv=None):
                              "tqdne-evaluate --help)")
     parser.add_argument("--gl-iters", type=int, default=None,
                         help="Griffin-Lim iterations for waveform inversion "
-                             "(default: the representation's 128; see the "
-                             "measured quality-vs-cost sweep in docs/quality)")
+                             "(default: the representation's 128; "
+                             "scripts/gl_iter_sweep.py measures the "
+                             "quality-vs-cost trade-off)")
     args = parser.parse_args(argv)
 
     common.setup_logging()

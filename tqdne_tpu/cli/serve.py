@@ -48,8 +48,9 @@ def main(argv=None):
                              "instead of the published summary table")
     parser.add_argument("--gl-iters", type=int, default=None,
                         help="Griffin-Lim iterations for waveform inversion "
-                             "(default: the representation's 128; see the "
-                             "measured quality-vs-cost sweep in docs/quality)")
+                             "(default: the representation's 128; "
+                             "scripts/gl_iter_sweep.py measures the "
+                             "quality-vs-cost trade-off)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)

@@ -54,9 +54,10 @@ class SpectrogramConfig(Config):
     t: int | None = 4064
     griffin_lim_backend: str = "jax"  # invert on the accelerator by default
     # 128 matches the reference's librosa default
-    # (/root/reference/tqdne/representation.py:106-108); the measured
-    # quality-vs-cost sweep (docs/quality/gl_iter_sweep) shows where
-    # fewer iterations are waveform-metric-equivalent for deployment.
+    # (/root/reference/tqdne/representation.py:106-108);
+    # scripts/gl_iter_sweep.py measures where fewer iterations are
+    # waveform-metric-equivalent for deployment (momentum-GL converges
+    # geometrically, so most of the 128 may buy nothing measurable).
     griffin_lim_iters: int = 128
 
     def make_representation(self) -> rep.Representation:

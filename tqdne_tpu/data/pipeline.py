@@ -92,12 +92,19 @@ class BatchLoader:
             # only its own rows (P hosts reading the full global batch and
             # discarding (P-1)/P of it was the round-2 judge's finding)
             if len(batch_idx) % jax.process_count():
+                # drop_last only helps when the CONFIGURED batch size is
+                # host-divisible and this is the ragged final batch; if
+                # batch_size itself is indivisible, every batch trips this
+                fix = (
+                    "Use drop_last=True so the ragged final batch is skipped."
+                    if self.batch_size % jax.process_count() == 0
+                    else f"Use a batch size divisible by {jax.process_count()}."
+                )
                 raise ValueError(
                     f"global batch of {len(batch_idx)} rows is not divisible "
                     f"by the {jax.process_count()} participating hosts; "
                     f"{len(batch_idx) % jax.process_count()} rows would be "
-                    "silently dropped. Use a host-divisible batch size, or "
-                    "drop_last=True so the ragged final batch is skipped."
+                    f"silently dropped. {fix}"
                 )
             per = len(batch_idx) // jax.process_count()
             s = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
