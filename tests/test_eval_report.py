@@ -29,13 +29,16 @@ def test_asd_metric_and_loss(rng):
     assert MeanSquaredError(channel=1)(x, x) == 0.0
 
 
-def _write_eval_file(path, rng, n=64):
+def _write_eval_file(path, rng, n=64, provenance=None):
     import h5py
+    import json
 
     mag = rng.uniform(4.0, 9.0, n)
     dist = rng.uniform(1.0, 199.0, n)
     labels = None
     with h5py.File(path, "w") as f:
+        if provenance is not None:
+            f.attrs["provenance"] = json.dumps(provenance)
         f.create_dataset("magnitude", data=mag)
         f.create_dataset("hypocentral_distance", data=dist)
         f.create_dataset("vs30", data=rng.uniform(200, 800, n))
@@ -68,6 +71,7 @@ def test_evaluation_report(tmp_path, rng):
     fid_bins = np.array(rep["fid_per_bin"])
     assert fid_bins.shape == (6, 6)
     assert "fid_calibration" not in rep  # only with a second target set
+    assert "provenance" not in rep  # only when the eval file carries it
 
     # train-vs-test calibration FID (evaluation.ipynb baseline): compare
     # this set's targets against another split's targets
@@ -123,6 +127,18 @@ def test_report_figures(tmp_path, rng):
             "sample_overlay.png"} <= names
     for w in written:
         assert w.exists() and w.stat().st_size > 1000
+
+
+def test_evaluation_report_provenance(tmp_path, rng):
+    """Training-budget provenance written by tqdne-evaluate (HDF5 root attr)
+    is copied verbatim into the report JSON so committed quality numbers
+    state the budget that produced them."""
+    prov = {"run_name": "Latent-Distill-32x32x8-LogSpectrogram",
+            "checkpoint_step": 17280, "train_epoch": 640, "train_step": 17280,
+            "num_steps": 2, "solver": "heun", "consistency_noise": "song"}
+    p = _write_eval_file(tmp_path / "rank0.h5", rng, provenance=prov)
+    rep = evaluation_report([p], min_bin_count=2)
+    assert rep["provenance"] == prov
 
 
 def test_evaluation_report_without_classifier(tmp_path, rng):

@@ -258,6 +258,7 @@ class InferenceBundle:
                 t, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
         )
         self.mesh = mesh
+        self.provenance: dict = {}  # filled by build_inference
         self.params = put(params)
         self.ae_vars = put(ae_vars) if ae_vars is not None else None
         self._raw_sample = raw_sample
@@ -377,11 +378,19 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         unet, ucfg = build_unet(config, recipe.dims, model_shape[-1], model_shape[-1],
                                 dtype, **overrides)
 
+    # training-budget provenance: which checkpoint (and how much training)
+    # produced the weights being sampled.  Propagated by tqdne-evaluate into
+    # the output HDF5 and by eval.report into the report JSON, so quality
+    # claims carry the budget that bought them (the reference stores the
+    # epoch inside the Lightning checkpoint; progress.json is our equivalent,
+    # train/loop.py _write_progress).
+    provenance = {"run_name": run_name or recipe.name, "recipe": recipe_key}
     if edm_checkpoint:
         from tqdne_tpu.utils.torch_convert import convert_unet, load_lightning_checkpoint
 
         unet_sd, _ = load_lightning_checkpoint(edm_checkpoint, prefix="unet")
         params = convert_unet(unet_sd, ucfg)
+        provenance["torch_checkpoint"] = str(edm_checkpoint)
     else:
         name = run_name or recipe.name
         ckptdir = Path(config.outputdir) / name / "checkpoints"
@@ -390,6 +399,13 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
             raise SystemExit(f"no checkpoint under {ckptdir} (train with "
                              f"`tqdne-train {recipe_key} --workdir {workdir}`)")
         params = restored[0]["ema_params"]
+        provenance["checkpoint_step"] = int(restored[1])
+        progress = ckptdir / "progress.json"
+        if progress.exists():
+            import json as _json
+
+            provenance.update({f"train_{k}": v
+                               for k, v in _json.loads(progress.read_text()).items()})
 
     mesh = eps_sharding = None
     if spatial and spatial > 1:
@@ -464,8 +480,10 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
             with int8_scope():
                 return inner_sample(params, ae_vars, key, shape, cond)
 
-    return InferenceBundle(recipe_key, recipe, config, representation, sig_shape,
-                           model_shape, params, ae_vars, raw_sample, mesh=mesh)
+    bundle = InferenceBundle(recipe_key, recipe, config, representation, sig_shape,
+                             model_shape, params, ae_vars, raw_sample, mesh=mesh)
+    bundle.provenance = provenance
+    return bundle
 
 
 def add_common_args(parser):

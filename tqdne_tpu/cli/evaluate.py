@@ -177,6 +177,18 @@ def main(argv=None):
     # channels-first signal shape derived from the representation
     sig_cf = (bundle.sig_shape[-1], *bundle.sig_shape[:-1])
     with h5py.File(outfile, "w") as f:
+        # provenance: training budget of the sampled checkpoint + sampler
+        # settings, copied into the report JSON by eval.report so committed
+        # quality numbers state the budget that produced them
+        import json as _json
+
+        f.attrs["provenance"] = _json.dumps(
+            bundle.provenance
+            | {"num_steps": args.num_steps, "solver": args.solver,
+               "seed": args.seed, "dtype": args.dtype, "split": args.split,
+               "consistency_noise": args.consistency_noise,
+               "refine_sigma": args.refine_sigma}
+        )
         for key in config.features_keys:
             f.create_dataset(key, data=dataset.get_feature(key)[all_idx])
         dsets = {

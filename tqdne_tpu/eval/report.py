@@ -68,8 +68,14 @@ def evaluation_report(
     # metrics and fid/inception_score stay null
     with h5py.File(paths[0], "r") as f:
         has_classifier = "predicted_classifier_embedding" in f
+        provenance = json.loads(f.attrs["provenance"]) if "provenance" in f.attrs else None
 
     report: dict = {"num_samples": int(len(pred_wf))}
+    if provenance is not None:
+        # training budget + sampler settings of the evaluated checkpoint,
+        # written by tqdne-evaluate (cli/evaluate.py) — committed quality
+        # numbers state the budget that produced them
+        report["provenance"] = provenance
     labels = _bin_label(mag, dist, list(mag_bins), list(dist_bins))
 
     pred_emb = targ_emb = pred_logits = None
