@@ -13,11 +13,23 @@ The reference publishes no throughput numbers (BASELINE.json.published
 first-measurement anchor if present (BENCH_ANCHOR.json), else 1.0.
 
 Output contract (round-2 lesson: the driver's budget expired before the
-round-2 bench printed anything, BENCH_r02.json rc=124):
+round-2 bench printed anything, BENCH_r02.json rc=124; round-4 lesson:
+a wall-clock budget charged compile time to the secondaries, so a cold
+compilation cache reduced the tail from five metrics to one):
   - the HEADLINE Heun JSON is measured first and printed IMMEDIATELY
     (flushed), before any secondary program compiles;
-  - secondary metrics (dpmpp_2m, end-to-end Griffin-Lim) run only while
-    a wall-clock budget allows, each fenced in try/except;
+  - the budget gates MEASUREMENT time only — compile/warmup time is
+    explicitly excluded, because the persistent compilation cache
+    (.jax_cache) is gitignored/NOT committed and a driver run starts
+    cold (~20-60 s per program).  Secondaries therefore always run
+    unless measurement itself has consumed the budget;
+  - secondaries are ordered by evidence value: training throughput
+    (BASELINE.json's companion headline) first, then the deployment
+    point (dpmpp_2m@10), the trained-student consistency points, and
+    the remaining solver/e2e numbers;
+  - each emitted line carries a "weights" field stating truthfully
+    which parameters were measured (trained checkpoint vs random init
+    — throughput is weight-independent, quality claims are not);
   - the headline JSON is re-printed after EVERY secondary and as the
     LAST line — the line the driver parses — so a driver timeout at any
     point still leaves the headline as the last complete JSON line.
@@ -37,14 +49,23 @@ from tqdne_tpu.cli.common import enable_compilation_cache
 
 enable_compilation_cache()
 
-# secondaries run only while total elapsed stays under this (seconds);
-# the round-1 bench (headline only) completed in ~75 s cold-with-cache
-BUDGET = float(os.environ.get("TQDNE_BENCH_BUDGET", "150"))
-T0 = time.perf_counter()
+# secondaries run only while accumulated MEASUREMENT time stays under this
+# (seconds).  Compile/warmup is excluded: it is cache-state dependent
+# (cold driver checkout vs warm builder tree) and charging it to the
+# budget is what reduced BENCH_r04's tail to a single metric.  Total
+# measurement across all seven metrics is ~60-90 s; the default leaves
+# headroom without letting a pathological measurement run unbounded.
+BUDGET = float(os.environ.get("TQDNE_BENCH_BUDGET", "240"))
+_MEASURED = 0.0
 
 
-def elapsed() -> float:
-    return time.perf_counter() - T0
+def _charge(dt: float) -> None:
+    global _MEASURED
+    _MEASURED += dt
+
+
+def within_budget() -> bool:
+    return _MEASURED < BUDGET
 
 
 HEADLINE_METRIC = "sampled_waveforms_per_sec_per_chip_edm_heun_latent2d"
@@ -94,21 +115,23 @@ def _maybe_record_anchor(metric: str, value: float) -> None:
     ANCHOR_PATH.write_text(json.dumps(anchors, indent=1, sort_keys=True))
 
 
-def emit(metric: str, value: float, unit: str = "waveforms/sec/chip"):
+def emit(metric: str, value: float, unit: str = "waveforms/sec/chip",
+         weights: str | None = None):
     anchor = _anchor_for(metric)
     _maybe_record_anchor(metric, value)
     vs_baseline = value / anchor if anchor else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    if weights is not None:
+        # truthful provenance of the measured parameters (VERDICT r4 #3):
+        # throughput is weight-independent, but quality claims attached to a
+        # metric name are not — so the line itself states what it measured
+        line["weights"] = weights
+    print(json.dumps(line), flush=True)
 
 
 def build_sampler(batch: int):
@@ -182,7 +205,7 @@ def build_consistency_sampler(batch: int, num_steps: int = 2):
             run = bundle.jit_sample(batch)
             cond = jnp.zeros((batch, 5))
             print("# consistency secondary: trained CD student (qrun)", flush=True)
-            return lambda key: run(key, cond)
+            return (lambda key: run(key, cond)), "trained-cd-student(qrun)"
         except (Exception, SystemExit) as e:  # pragma: no cover - qrun varies
             # SystemExit too: build_inference raises it for a run dir with
             # no checkpoint yet (e.g. mid-training), and it would otherwise
@@ -192,7 +215,7 @@ def build_consistency_sampler(batch: int, num_steps: int = 2):
     if num_steps != 2:
         # the 1-eval point is only meaningful with the trained student
         # (its quality rows live in docs/quality); skip on random init
-        return None
+        return None, "absent"
     from tqdne_tpu import configs
     from tqdne_tpu.diffusion.consistency import ConsistencyConfig, make_consistency_steps
     from tqdne_tpu.models.autoencoder import AutoencoderKL
@@ -219,7 +242,7 @@ def build_consistency_sampler(batch: int, num_steps: int = 2):
         lat = sample_fn(params, key, latent_shape, sigmas=(1.0,), cond=cond)
         return ae.apply(ae_vars, lat.astype(jnp.bfloat16), method="decode")
 
-    return lambda key: run(params, ae_vars, key)
+    return (lambda key: run(params, ae_vars, key)), "random-init"
 
 
 def build_invert(batch: int):
@@ -246,135 +269,116 @@ def build_invert(batch: int):
     return invert
 
 
+def measure_throughput(fn, batch: int, iters: int, key0: int) -> float:
+    """Compile+warmup (uncharged), then time `iters` dispatches ended by a
+    scalar fetch.  The fetch, not block_until_ready, ends the timing: the
+    relay's ready-notifications proved unreliable for some programs
+    (returned in 0.2 ms for a 400 ms Griffin-Lim chain,
+    scripts/profile_griffin_lim.py), while a scalar fetch cannot complete
+    before the computation does.  Only the timed loop is charged to the
+    measurement budget."""
+    out = fn(jax.random.key(key0))
+    float(out.sum())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jax.random.key(key0 + 1 + i))
+    float(out.sum())
+    dt = time.perf_counter() - t0
+    _charge(dt)
+    return batch * iters / dt
+
+
 def main():
-    # batch 64 is ~12% faster than 32 on v5e (BENCH_NOTES.md); the persistent
-    # compilation cache (.jax_cache, prewarmed in-repo) keeps the first-run
-    # compile cost bounded for the driver.
+    # batch 64 is ~12% faster than 32 on v5e (BENCH_NOTES.md).  NOTE: the
+    # persistent compilation cache (.jax_cache) is local-only (gitignored,
+    # NOT committed) — a driver run compiles cold, which is exactly why the
+    # budget below charges measurement time only.
     batch = 64
     run, run_dpmpp, run_dpmpp10 = build_sampler(batch)
 
-    # warmup / compile.  Timing ends with a scalar fetch, not
-    # block_until_ready: the relay's ready-notifications proved unreliable
-    # for some programs (returned in 0.2 ms for a 400 ms Griffin-Lim chain,
-    # scripts/profile_griffin_lim.py), while a scalar fetch cannot complete
-    # before the computation does.
-    out = run(jax.random.key(0))
-    float(out.sum())
-
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(jax.random.key(i + 1))
-    float(out.sum())
-    dt = time.perf_counter() - t0
-
-    wps = batch * iters / dt
-
+    wps = measure_throughput(run, batch, iters=5, key0=0)
     headline = (HEADLINE_METRIC, wps)
     emit(*headline)  # early print: never lose the headline to an overrun
 
-    # secondary: DPM-Solver++(2M) (N evals vs Heun's 2N-1; beyond reference —
-    # the headline stays Heun for reference-semantics comparability)
-    if elapsed() < BUDGET:
+    # secondary 1: flagship training step throughput (BASELINE.json names
+    # "training samples/sec" as the companion headline; VERDICT r3 #3 / r4 #1
+    # — the highest-value secondary, so it runs FIRST)
+    if within_budget():
         try:
-            out = run_dpmpp(jax.random.key(50))
-            float(out.sum())
-            t0 = time.perf_counter()
-            for i in range(3):
-                out = run_dpmpp(jax.random.key(51 + i))
-            float(out.sum())
-            emit("sampled_waveforms_per_sec_per_chip_dpmpp2m_latent2d",
-                 batch * 3 / (time.perf_counter() - t0))
+            import bench_train
+
+            v = bench_train.measure(batch=128, iters=20)
+            _charge(128 * 20 / v)  # the exact timed-loop duration
+            emit("train_samples_per_sec_per_chip_latent_edm", v,
+                 unit="samples/sec/chip", weights="random-init")
         except Exception as e:  # pragma: no cover - diagnostics only
-            print(f"# dpmpp secondary failed: {e}", flush=True)
+            print(f"# train secondary failed: {e}", flush=True)
         emit(*headline)  # keep the headline the last complete line
 
-    # secondary: dpmpp_2m at 10 steps — the recommended deployment point
+    # secondary 2: dpmpp_2m at 10 steps — the recommended deployment point
     # (best measured FID of any configuration, docs/quality NFE sweep)
-    if elapsed() < BUDGET:
+    if within_budget():
         try:
-            out = run_dpmpp10(jax.random.key(60))
-            float(out.sum())
-            t0 = time.perf_counter()
-            for i in range(5):
-                out = run_dpmpp10(jax.random.key(61 + i))
-            float(out.sum())
             emit("sampled_waveforms_per_sec_per_chip_dpmpp2m_10step_latent2d",
-                 batch * 5 / (time.perf_counter() - t0))
+                 measure_throughput(run_dpmpp10, batch, iters=5, key0=60),
+                 weights="random-init")
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# dpmpp10 secondary failed: {e}", flush=True)
         emit(*headline)  # keep the headline the last complete line
 
-    # secondary: end-to-end to waveforms (sampling + decode + on-device
+    # secondary 3: 1-eval distilled-student sampling (trained weights only —
+    # the quality evidence for this operating point is the CD table in
+    # docs/quality/README.md; skipped when no trained student is on disk)
+    if within_budget():
+        try:
+            run_cd1, w_cd1 = build_consistency_sampler(batch, num_steps=1)
+            if run_cd1 is not None:
+                emit("sampled_waveforms_per_sec_per_chip_cd1_latent2d",
+                     measure_throughput(run_cd1, batch, iters=3, key0=300),
+                     weights=w_cd1)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# cd1 secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary 4: 2-eval consistency sampling at the flagship shape (the
+    # fewer-network-evals lever; quality evidence lives in the trained
+    # consistency run, docs/quality)
+    if within_budget():
+        try:
+            run_cm, w_cm = build_consistency_sampler(batch)
+            emit("sampled_waveforms_per_sec_per_chip_consistency2_latent2d",
+                 measure_throughput(run_cm, batch, iters=3, key0=200),
+                 weights=w_cm)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# consistency secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary 5: DPM-Solver++(2M) at 25 steps (N evals vs Heun's 2N-1;
+    # beyond reference — the headline stays Heun for reference-semantics
+    # comparability)
+    if within_budget():
+        try:
+            emit("sampled_waveforms_per_sec_per_chip_dpmpp2m_latent2d",
+                 measure_throughput(run_dpmpp, batch, iters=3, key0=50),
+                 weights="random-init")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# dpmpp secondary failed: {e}", flush=True)
+        emit(*headline)  # keep the headline the last complete line
+
+    # secondary 6: end-to-end to waveforms (sampling + decode + on-device
     # Griffin-Lim x128)
-    if elapsed() < BUDGET:
+    if within_budget():
         try:
             invert = build_invert(batch)
 
             def run_e2e(key):
                 return invert(run(key), key)
 
-            out = run_e2e(jax.random.key(100))
-            float(out.sum())
-            t0 = time.perf_counter()
-            for i in range(3):
-                out = run_e2e(jax.random.key(101 + i))
-            float(out.sum())
             emit("e2e_waveforms_per_sec_per_chip_incl_griffin_lim",
-                 batch * 3 / (time.perf_counter() - t0))
+                 measure_throughput(run_e2e, batch, iters=3, key0=100),
+                 weights="random-init")
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# e2e secondary failed: {e}", flush=True)
-        emit(*headline)  # keep the headline the last complete line
-
-    # secondary: 2-eval consistency sampling at the flagship shape (the
-    # fewer-network-evals lever; quality evidence lives in the trained
-    # consistency run, docs/quality)
-    if elapsed() < BUDGET:
-        try:
-            run_cm = build_consistency_sampler(batch)
-            out = run_cm(jax.random.key(200))
-            float(out.sum())
-            t0 = time.perf_counter()
-            for i in range(3):
-                out = run_cm(jax.random.key(201 + i))
-            float(out.sum())
-            emit("sampled_waveforms_per_sec_per_chip_consistency2_latent2d",
-                 batch * 3 / (time.perf_counter() - t0))
-        except Exception as e:  # pragma: no cover - diagnostics only
-            print(f"# consistency secondary failed: {e}", flush=True)
-        emit(*headline)  # keep the headline the last complete line
-
-    # secondary: 1-eval distilled-student sampling (trained weights only —
-    # the quality evidence for this operating point is the CD table in
-    # docs/quality/README.md; skipped when no trained student is on disk)
-    if elapsed() < BUDGET:
-        try:
-            run_cd1 = build_consistency_sampler(batch, num_steps=1)
-            if run_cd1 is not None:
-                out = run_cd1(jax.random.key(300))
-                float(out.sum())
-                t0 = time.perf_counter()
-                for i in range(3):
-                    out = run_cd1(jax.random.key(301 + i))
-                float(out.sum())
-                emit("sampled_waveforms_per_sec_per_chip_cd1_latent2d",
-                     batch * 3 / (time.perf_counter() - t0))
-        except Exception as e:  # pragma: no cover - diagnostics only
-            print(f"# cd1 secondary failed: {e}", flush=True)
-        emit(*headline)  # keep the headline the last complete line
-
-    # secondary: flagship training step throughput (BASELINE.json names
-    # "training samples/sec" as the companion headline; VERDICT r3 #3 —
-    # the driver-visible bench must carry it, not just bench_train.py)
-    if elapsed() < BUDGET:
-        try:
-            import bench_train
-
-            emit("train_samples_per_sec_per_chip_latent_edm",
-                 bench_train.measure(batch=128, iters=20),
-                 unit="samples/sec/chip")
-        except Exception as e:  # pragma: no cover - diagnostics only
-            print(f"# train secondary failed: {e}", flush=True)
 
     # LAST line = the headline — the one the driver parses
     emit(*headline)

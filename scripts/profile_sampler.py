@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def capture(outdir: str):
     import bench
 
-    run, _ = bench.build_sampler(64)
+    run, _, _ = bench.build_sampler(64)
     out = run(jax.random.key(0))
     jax.block_until_ready(out)
     with jax.profiler.trace(outdir):

@@ -118,6 +118,38 @@ def test_consistency_sample_noise_conventions():
         cm.consistency_sample(CFG, spy_net, jax.random.key(0), shape, noise="bogus")
 
 
+def test_consistency_sample_auto_convention_table():
+    """Pins the measured-best per-NFE defaults (VERDICT r4 weak #3 /
+    docs/quality CD tables): 'auto' resolves to 'reference' at NFE 1
+    (no refinement sigmas — its unscaled init measured the best student
+    FID) and to 'song' at NFE >= 2 (variance-matched refinement restores
+    NFE-2-beats-NFE-1 and the spectral statistics)."""
+
+    def net(x, sigma, cond):
+        return 0.5 * x
+
+    shape = (4, 256, 1)
+    # NFE 1: auto == reference, != song
+    out_auto = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                     sigmas=(), noise="auto")
+    out_ref = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                    sigmas=(), noise="reference")
+    out_song = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                     sigmas=(), noise="song")
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_ref))
+    assert not np.allclose(np.asarray(out_auto), np.asarray(out_song))
+
+    # NFE 2: auto == song, != reference
+    out_auto2 = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                      sigmas=(1.0,), noise="auto")
+    out_song2 = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                      sigmas=(1.0,), noise="song")
+    out_ref2 = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
+                                     sigmas=(1.0,), noise="reference")
+    np.testing.assert_array_equal(np.asarray(out_auto2), np.asarray(out_song2))
+    assert not np.allclose(np.asarray(out_auto2), np.asarray(out_ref2))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -292,7 +292,7 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     autoencoder_checkpoint: str | None = None,
                     solver: str = "heun", int8: bool = False,
                     spatial: int = 0,
-                    consistency_noise: str = "song",
+                    consistency_noise: str = "auto",
                     refine_sigma: float = 1.0,
                     gl_iters: int | None = None) -> InferenceBundle:
     """Rebuild a sampleable model for any diffusion recipe (1d_edm,
@@ -404,8 +404,17 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         if progress.exists():
             import json as _json
 
-            provenance.update({f"train_{k}": v
-                               for k, v in _json.loads(progress.read_text()).items()})
+            prog = _json.loads(progress.read_text())
+            # progress.json tracks the LIVE run; if evaluation races a
+            # training process that saved a newer checkpoint in between,
+            # merging it verbatim would overstate the restored
+            # checkpoint's training budget (ADVICE r4) — only merge when
+            # the steps agree, else record both sides and flag it
+            if int(prog.get("step", -1)) == int(restored[1]):
+                provenance.update({f"train_{k}": v for k, v in prog.items()})
+            else:
+                provenance["progress_mismatch"] = {
+                    f"train_{k}": v for k, v in prog.items()}
 
     mesh = eps_sharding = None
     if spatial and spatial > 1:
@@ -439,8 +448,9 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                                                  max_steps=1, autoencoder=ae)
         # num_steps = total network evals: one sigma_max shot + N-1
         # refinement passes at refine_sigma (consistency_model.py:81-106
-        # defaults sigma=1); consistency_noise: "song" (variance-matched,
-        # default) or "reference" (unscaled-init + uniform refinement)
+        # defaults sigma=1); consistency_noise default "auto" = the
+        # measured-best convention per NFE ("reference" at NFE 1, "song"
+        # at NFE >= 2 — see diffusion/consistency.py:consistency_sample)
         refine_sigmas = (refine_sigma,) * max(0, num_steps - 1)
         cast = dtype if dtype == jnp.bfloat16 else None
 

@@ -93,12 +93,14 @@ def main(argv=None):
                         help="quality-gated fast mode: int8 MXU convolutions "
                              "(see nn/quant.py; measures the mode's quality delta "
                              "through the standard report machinery)")
-    parser.add_argument("--consistency-noise", type=str, default="song",
-                        choices=["song", "reference"],
-                        help="consistency/distill sampling convention: 'song' "
-                             "(variance-matched Gaussian, Song et al. 2023 Alg. 1) "
-                             "or 'reference' (the reference's unscaled init + "
-                             "uniform refinement, kept for parity)")
+    parser.add_argument("--consistency-noise", type=str, default="auto",
+                        choices=["auto", "song", "reference"],
+                        help="consistency/distill sampling convention: 'auto' "
+                             "(measured-best per NFE: 'reference' at NFE 1, "
+                             "'song' at NFE >= 2 — docs/quality CD tables), "
+                             "'song' (variance-matched Gaussian, Song et al. "
+                             "2023 Alg. 1) or 'reference' (the reference's "
+                             "unscaled init + uniform refinement)")
     parser.add_argument("--refine-sigma", type=float, default=1.0,
                         help="re-noising sigma for multistep consistency "
                              "refinement passes (NFE >= 2)")

@@ -117,8 +117,8 @@ def main(argv=None):
                         help="quality-gated fast mode: int8 MXU convolutions (2x bf16 "
                              "TOPS on v5e; ~1%% per-layer quantization noise — see "
                              "nn/quant.py and the measured delta in BENCH_NOTES.md)")
-    parser.add_argument("--consistency-noise", type=str, default="song",
-                        choices=["song", "reference"],
+    parser.add_argument("--consistency-noise", type=str, default="auto",
+                        choices=["auto", "song", "reference"],
                         help="consistency/distill sampling convention (see "
                              "tqdne-evaluate --help)")
     parser.add_argument("--gl-iters", type=int, default=None,

@@ -200,7 +200,7 @@ def make_distillation_steps(
         return {"loss": loss}
 
     def sample_fn(params, key, shape, sigmas=(1.0,), cond=None, cond_signal=None,
-                  ae_vars=None, cast_params=None, noise="song"):
+                  ae_vars=None, cast_params=None, noise="auto"):
         """Few-eval consistency sampling with the CD parameterization; in
         latent mode ``shape`` is the latent shape and the output decodes to
         signal space (consistency.consistency_sample semantics)."""

@@ -66,9 +66,24 @@ def evaluation_report(
     # have no spectrogram classifier, matching the reference whose
     # classifier is 2D-only — then the report carries waveform-domain
     # metrics and fid/inception_score stay null
-    with h5py.File(paths[0], "r") as f:
-        has_classifier = "predicted_classifier_embedding" in f
-        provenance = json.loads(f.attrs["provenance"]) if "provenance" in f.attrs else None
+    provs = []
+    for i, p in enumerate(paths):
+        with h5py.File(p, "r") as f:
+            if i == 0:
+                has_classifier = "predicted_classifier_embedding" in f
+            provs.append(json.loads(f.attrs["provenance"])
+                         if "provenance" in f.attrs else None)
+    # merged inputs (rank files, --suffix sweeps) must agree on what they
+    # evaluated; silently labeling the report with paths[0]'s provenance
+    # would misattribute the other files' samples (ADVICE r4)
+    if all(pv == provs[0] for pv in provs):
+        provenance = provs[0]
+    else:
+        provenance = {
+            "mixed": provs,
+            "note": "input files carry differing provenance; see 'mixed' "
+                    "(one entry per input file, in argument order)",
+        }
 
     report: dict = {"num_samples": int(len(pred_wf))}
     if provenance is not None:
