@@ -289,6 +289,7 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
                     num_steps: int = 25, tiny: bool = False,
                     run_name: str | None = None, ae_name: str | None = None,
                     edm_checkpoint: str | None = None,
+                    exported_weights: str | None = None,
                     autoencoder_checkpoint: str | None = None,
                     solver: str = "heun", int8: bool = False,
                     spatial: int = 0,
@@ -391,6 +392,16 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         unet_sd, _ = load_lightning_checkpoint(edm_checkpoint, prefix="unet")
         params = convert_unet(unet_sd, ucfg)
         provenance["torch_checkpoint"] = str(edm_checkpoint)
+    elif exported_weights:
+        # release-artifact path (cli/export_weights.py): digest-verified
+        # against its manifest, provenance carries the artifact identity
+        from tqdne_tpu.cli.export_weights import load_exported
+
+        params, manifest = load_exported(exported_weights)
+        provenance["exported_weights"] = str(exported_weights)
+        if manifest is not None:
+            provenance["checkpoint_step"] = manifest.get("checkpoint_step")
+            provenance["weights_sha256"] = manifest.get("sha256")
     else:
         name = run_name or recipe.name
         ckptdir = Path(config.outputdir) / name / "checkpoints"

@@ -105,6 +105,10 @@ def main(argv=None):
                              "consistency = 1-2 eval sampling from a consistency-model run "
                              "(implies --config consistency unless one is given)")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["f32", "bf16"])
+    parser.add_argument("--weights", type=str, default=None,
+                        help="load UNet EMA weights from a tqdne-export-weights "
+                             "release artifact (.msgpack, digest-verified against "
+                             "its manifest) instead of the run's orbax checkpoint")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="match a --tiny-trained run's model widths")
@@ -163,6 +167,7 @@ def main(argv=None):
         args.config, args.workdir or ".", dtype, num_steps=args.num_steps, tiny=args.tiny,
         run_name=args.name, ae_name=args.ae_name,
         edm_checkpoint=args.edm_checkpoint,
+        exported_weights=args.weights,
         autoencoder_checkpoint=args.autoencoder_checkpoint,
         solver=args.solver, int8=args.int8, spatial=args.spatial,
         consistency_noise=args.consistency_noise, gl_iters=args.gl_iters,
