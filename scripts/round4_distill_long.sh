@@ -22,14 +22,22 @@ source "$(dirname "$0")/_watchdog.sh"
 
 test -f "$CAL" || { echo "run quality_loop.sh first"; exit 1; }
 
-if [ -d "$W/outputs/$RUN" ] && [ ! -d "$W/outputs/$RUN-short160" ]; then
+# archive a completed SHORT run before training long (round-4 flow).  Only
+# with ARCHIVE_SHORT=1: an unconditional mv would clobber a resumable
+# in-progress long run with itself (re-running this script must RESUME).
+if [ -n "${ARCHIVE_SHORT:-}" ] && [ -d "$W/outputs/$RUN" ] && \
+   [ ! -d "$W/outputs/$RUN-short160" ]; then
   mv "$W/outputs/$RUN" "$W/outputs/$RUN-short160"
 fi
 
+# cadence: cached-latent distill epochs are ~6 s of compute, so per-epoch
+# validation + the ~1.5 GiB orbax save (4-5 min at this disk's ~11 MiB/s)
+# would double the wall time at 640 epochs — validate every 8, checkpoint
+# and sampling-eval every 160
 stage "distill 640 epochs, mu=0.999"
 run_watched $PY -m tqdne_tpu.cli.train latent_distill --workdir "$W" \
-  --max-epochs "${CD_EPOCHS:-640}" -b 256 --cached-latents --eval-every 80 \
-  --checkpoint-every 40 --ema-decay 0.999
+  --max-epochs "${CD_EPOCHS:-640}" -b 256 --cached-latents --eval-every 160 \
+  --checkpoint-every 160 --val-every 8 --ema-decay 0.999
 
 for NFE in 2 1; do
   stage "evaluate long-budget student (song convention, $NFE evals)"

@@ -526,6 +526,12 @@ def add_common_args(parser):
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--eval-every", type=int, default=10,
                         help="sampling-eval callback period (epochs)")
+    parser.add_argument("--val-every", type=int, default=1,
+                        help="validation-loss pass period in epochs (default 1, "
+                             "reference parity; raise it for short epochs where "
+                             "the val pass + loader turnaround dominates — e.g. "
+                             "cached-latent distillation epochs run ~6 s of "
+                             "steps but ~7 s of per-epoch overhead)")
     parser.add_argument("--checkpoint-every", type=int, default=1,
                         help="checkpoint period in epochs (default 1, reference parity; "
                              "raise it when the epoch is short — each save device_gets "

@@ -397,6 +397,7 @@ def run(recipe_key: str, args):
         extra_args=extra, callbacks=callbacks, seed=args.seed,
         project=config.project_name, lr_schedule=lr_schedule,
         hparams=hparams, checkpoint_every_epochs=args.checkpoint_every,
+        eval_every_epochs=args.val_every,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
@@ -463,6 +464,7 @@ def _run_classifier(recipe, config, args, mesh, batch, epochs, dtype, workdir):
         hparams={"kind": "classifier", "encoder": enc_cfg,
                  "num_classes": config.num_classes},
         checkpoint_every_epochs=args.checkpoint_every,
+        eval_every_epochs=args.val_every,
     )
     trainer.fit(state, train_loader, val_loader, resume=not args.no_resume)
 
