@@ -39,24 +39,25 @@ run_watched $PY -m tqdne_tpu.cli.train latent_distill --workdir "$W" \
   --max-epochs "${CD_EPOCHS:-640}" -b 256 --cached-latents --eval-every 160 \
   --checkpoint-every 160 --val-every 8 --ema-decay 0.999
 
-for NFE in 2 1; do
-  stage "evaluate long-budget student (song convention, $NFE evals)"
-  run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
-    --split test -b 64 --num-steps "$NFE" "--suffix=-long-nfe$NFE"
-  stage "report (long, nfe $NFE)"
-  run_watched $PY -m tqdne_tpu.eval.report \
-    "$W/evaluation/$RUN-long-nfe$NFE-split_test-rank_0.h5" \
-    --calibration-files "$CAL" \
-    --out "$W/evaluation/report_latent_distill_long_nfe$NFE.json"
+# full convention x NFE table for the long-budget student (the 'auto'
+# default's per-NFE table in diffusion/consistency.py is pinned to whatever
+# wins here): song + reference at 1 and 2 network evals, explicitly — the
+# CLI default is now NFE-aware 'auto', so sweeps must name the convention
+for NOISE in song reference; do
+  for NFE in 2 1; do
+    [ "$NOISE" = song ] && TAG="-long-nfe$NFE" || TAG="-long-ref-nfe$NFE"
+    [ "$NOISE" = song ] && OUT="report_latent_distill_long_nfe$NFE.json" \
+      || OUT="report_latent_distill_long_ref_nfe$NFE.json"
+    stage "evaluate long-budget student ($NOISE convention, $NFE evals)"
+    run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
+      --split test -b 64 --num-steps "$NFE" --consistency-noise "$NOISE" \
+      "--suffix=$TAG"
+    stage "report (long, $NOISE, nfe $NFE)"
+    run_watched $PY -m tqdne_tpu.eval.report \
+      "$W/evaluation/$RUN$TAG-split_test-rank_0.h5" \
+      --calibration-files "$CAL" \
+      --out "$W/evaluation/$OUT"
+  done
 done
-
-stage "evaluate long-budget student (reference convention, 2 evals)"
-run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
-  --split test -b 64 --num-steps 2 --consistency-noise reference \
-  "--suffix=-long-ref-nfe2"
-run_watched $PY -m tqdne_tpu.eval.report \
-  "$W/evaluation/$RUN-long-ref-nfe2-split_test-rank_0.h5" \
-  --calibration-files "$CAL" \
-  --out "$W/evaluation/report_latent_distill_long_ref_nfe2.json"
 
 stage "round4 distill-long done"

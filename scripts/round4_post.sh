@@ -21,7 +21,8 @@ test -f "$CAL" || { echo "run quality_loop.sh first"; exit 1; }
 for NFE in 1 2; do
   stage "evaluate distilled student, song convention ($NFE network evals)"
   run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
-    --split test -b 64 --num-steps "$NFE" "--suffix=-song-nfe$NFE"
+    --split test -b 64 --num-steps "$NFE" --consistency-noise song \
+    "--suffix=-song-nfe$NFE"
   stage "report (song, nfe $NFE)"
   run_watched $PY -m tqdne_tpu.eval.report \
     "$W/evaluation/$RUN-song-nfe$NFE-split_test-rank_0.h5" \
@@ -32,7 +33,8 @@ done
 for RS in 0.5 2.0; do
   stage "refine-sigma sweep: 2 NFE, sigma $RS"
   run_watched $PY -m tqdne_tpu.cli.evaluate --workdir "$W" --config latent_distill \
-    --split test -b 64 --num-steps 2 --refine-sigma "$RS" "--suffix=-song-nfe2-rs$RS"
+    --split test -b 64 --num-steps 2 --consistency-noise song \
+    --refine-sigma "$RS" "--suffix=-song-nfe2-rs$RS"
   stage "report (song, nfe 2, refine sigma $RS)"
   run_watched $PY -m tqdne_tpu.eval.report \
     "$W/evaluation/$RUN-song-nfe2-rs$RS-split_test-rank_0.h5" \
