@@ -78,3 +78,35 @@ def test_precompute_and_train_cached_latents(tmp_path):
             "--eval-every", "99", "--tiny", "--dtype", "f32", "--cached-latents",
             "--no-resume",
         ])
+
+
+def test_keys_pushdown_skips_waveform_read(tmp_path):
+    """load_batch(keys=...) must not MATERIALIZE unrequested arrays: for
+    cached-latent training batches (moments + cond only) the waveform slab
+    read and host representation are skipped — ~8 s/epoch of discarded IO
+    on the flagship chain (round 5)."""
+    from tqdne_tpu.data import representation as rep
+    from tqdne_tpu.data.dataset import Dataset, make_synthetic_dataset
+
+    path = tmp_path / "wf.h5"
+    make_synthetic_dataset(path, n=16, t=256)
+    ds = Dataset(path, rep.Identity(), cut=256, cond=True, split="full")
+    calls = {"n": 0}
+
+    class SpyWaveforms:
+        def __init__(self, real):
+            self.real = real
+            self.shape = real.shape
+
+        def __getitem__(self, idx):
+            calls["n"] += 1
+            return self.real[idx]
+
+    ds.waveforms = SpyWaveforms(ds.waveforms)
+    batch = ds.load_batch(np.arange(4), keys=("cond",))
+    assert set(batch) == {"cond"}
+    assert calls["n"] == 0, "waveform slab was read despite keys=('cond',)"
+    full = ds.load_batch(np.arange(4))
+    assert {"waveform", "signal", "valid_index", "cond"} <= set(full)
+    assert calls["n"] == 1
+    ds.close()

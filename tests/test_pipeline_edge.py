@@ -54,11 +54,11 @@ def test_producer_failure_raises_in_consumer(h5path):
     calls = {"n": 0}
     orig = ds.load_batch
 
-    def flaky(idx):
+    def flaky(idx, keys=None):
         calls["n"] += 1
         if calls["n"] == 3:
             raise boom
-        return orig(idx)
+        return orig(idx, keys)
 
     ds.load_batch = flaky
     got = []
@@ -79,9 +79,9 @@ def test_multihost_slices_indices_before_read(h5path, monkeypatch):
     seen = []
     orig = ds.load_batch
 
-    def spy(idx):
+    def spy(idx, keys=None):
         seen.append(np.array(idx))
-        return orig(idx)
+        return orig(idx, keys)
 
     ds.load_batch = spy
     monkeypatch.setattr(jax, "process_count", lambda: 4)

@@ -89,25 +89,36 @@ class Dataset:
     def __len__(self) -> int:
         return len(self.indices)
 
-    def load_batch(self, batch_indices: np.ndarray) -> dict:
+    def load_batch(self, batch_indices: np.ndarray,
+                   keys: tuple[str, ...] | None = None) -> dict:
         """Read a batch (dataset-relative indices) as a dict of numpy arrays.
 
         Reads HDF5 rows in sorted order (libhdf5 requirement + locality),
         then restores the requested order.  Representation is applied
         vectorized over the whole batch.
+
+        ``keys``: optional subset to MATERIALIZE, not just filter — when
+        neither "waveform" nor "signal" is requested the waveform slab
+        read and the host representation are skipped entirely (cached-
+        latent training needs only moments + cond; reading and then
+        discarding the waveforms cost ~8 s per 27-step epoch, round 5).
         """
+        want = keys.__contains__ if keys is not None else (lambda k: True)
         uniq, restore = _row_gather(self.indices[batch_indices])
-        waveforms = self.waveforms[uniq][restore]
-        valid = self.file["indices_valid_waveforms"][uniq][restore]
-        if self.cut:
-            waveforms = waveforms[:, :, : self.cut]
-        signal = self.representation.get_representation(waveforms)
-        out = {
-            "waveform": waveforms.astype(np.float32),
-            "signal": np.asarray(signal, dtype=np.float32),
-            "valid_index": np.asarray(valid, dtype=np.int32),
-        }
-        if self.use_conditioning:
+        out: dict = {}
+        if want("waveform") or want("signal"):
+            waveforms = self.waveforms[uniq][restore]
+            if self.cut:
+                waveforms = waveforms[:, :, : self.cut]
+            if want("waveform"):
+                out["waveform"] = waveforms.astype(np.float32)
+            if want("signal"):
+                signal = self.representation.get_representation(waveforms)
+                out["signal"] = np.asarray(signal, dtype=np.float32)
+        if want("valid_index"):
+            valid = self.file["indices_valid_waveforms"][uniq][restore]
+            out["valid_index"] = np.asarray(valid, dtype=np.int32)
+        if self.use_conditioning and want("cond"):
             out["cond"] = self.cond[uniq][restore].astype(np.float32)
         return out
 
@@ -141,11 +152,16 @@ class CachedLatentsDataset(Dataset):
         super().close()
         self.latents_file.close()
 
-    def load_batch(self, batch_indices: np.ndarray) -> dict:
-        out = super().load_batch(batch_indices)
-        uniq, restore = _row_gather(self.indices[batch_indices])
-        out["latent_mean"] = self.latents_file["latent_mean"][uniq][restore]
-        out["latent_log_std"] = self.latents_file["latent_log_std"][uniq][restore]
+    def load_batch(self, batch_indices: np.ndarray,
+                   keys: tuple[str, ...] | None = None) -> dict:
+        out = super().load_batch(batch_indices, keys)
+        want = keys.__contains__ if keys is not None else (lambda k: True)
+        if want("latent_mean") or want("latent_log_std"):
+            uniq, restore = _row_gather(self.indices[batch_indices])
+            if want("latent_mean"):
+                out["latent_mean"] = self.latents_file["latent_mean"][uniq][restore]
+            if want("latent_log_std"):
+                out["latent_log_std"] = self.latents_file["latent_log_std"][uniq][restore]
         return out
 
 
@@ -171,9 +187,11 @@ class ClassificationDataset(Dataset):
             dtype=np.float32,
         )
 
-    def load_batch(self, batch_indices: np.ndarray) -> dict:
-        out = super().load_batch(batch_indices)
-        out["label"] = self.labels[self.indices[batch_indices]].astype(np.int32)
+    def load_batch(self, batch_indices: np.ndarray,
+                   keys: tuple[str, ...] | None = None) -> dict:
+        out = super().load_batch(batch_indices, keys)
+        if keys is None or "label" in keys:
+            out["label"] = self.labels[self.indices[batch_indices]].astype(np.int32)
         return out
 
 
@@ -220,7 +238,10 @@ class PairedDataset:
         self.obs.close()
         self.syn.close()
 
-    def load_batch(self, batch_indices: np.ndarray) -> dict:
+    def load_batch(self, batch_indices: np.ndarray,
+                   keys: tuple[str, ...] | None = None) -> dict:
+        # keys accepted for BatchLoader uniformity; both waveform pairs are
+        # always needed downstream, so nothing is skippable here
         idx = np.sort(self.indices[batch_indices])
         obs = self.obs["waveforms"][idx]
         syn = self.syn["waveforms"][idx]

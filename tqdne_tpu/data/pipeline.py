@@ -109,7 +109,11 @@ class BatchLoader:
             per = len(batch_idx) // jax.process_count()
             s = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
             batch_idx = batch_idx[s]
-        batch = self.dataset.load_batch(batch_idx)
+        # keys are pushed INTO the read so unrequested arrays are never
+        # materialized (e.g. the waveform slab during cached-latent
+        # training); the filter below stays as a guarantee for datasets
+        # that over-return (PairedDataset)
+        batch = self.dataset.load_batch(batch_idx, keys=self.keys)
         if self.keys is not None:
             batch = {k: v for k, v in batch.items() if k in self.keys}
         if self.channels_last:
