@@ -32,7 +32,11 @@ compilation cache reduced the tail from five metrics to one):
     — throughput is weight-independent, quality claims are not);
   - the headline JSON is re-printed after EVERY secondary and as the
     LAST line — the line the driver parses — so a driver timeout at any
-    point still leaves the headline as the last complete JSON line.
+    point still leaves the headline as the last complete JSON line;
+  - a final RECAP block re-prints every secondary once just before the
+    last headline line, so a driver that records only a capped tail of
+    stdout still captures every metric (the interleaved reprints would
+    otherwise push the earliest secondaries off the tail).
 """
 
 from __future__ import annotations
@@ -115,8 +119,11 @@ def _maybe_record_anchor(metric: str, value: float) -> None:
     ANCHOR_PATH.write_text(json.dumps(anchors, indent=1, sort_keys=True))
 
 
+_EMITTED: list[str] = []
+
+
 def emit(metric: str, value: float, unit: str = "waveforms/sec/chip",
-         weights: str | None = None):
+         weights: str | None = None, _recap: bool = False):
     anchor = _anchor_for(metric)
     _maybe_record_anchor(metric, value)
     vs_baseline = value / anchor if anchor else 1.0
@@ -131,7 +138,21 @@ def emit(metric: str, value: float, unit: str = "waveforms/sec/chip",
         # throughput is weight-independent, but quality claims attached to a
         # metric name are not — so the line itself states what it measured
         line["weights"] = weights
-    print(json.dumps(line), flush=True)
+    text = json.dumps(line)
+    if not _recap and metric != HEADLINE_METRIC:
+        _EMITTED.append(text)
+    print(text, flush=True)
+
+
+def recap():
+    """Re-print every secondary once, in order, just before the final
+    headline line.  The driver records only a TAIL of bench stdout; with
+    headline reprints interleaved after every secondary (crash insurance),
+    the earliest — highest-value — secondaries would be the first to fall
+    off a capped tail.  The recap guarantees the last ~8 lines contain
+    every measured metric exactly once, followed by the headline."""
+    for text in _EMITTED:
+        print(text, flush=True)
 
 
 def build_sampler(batch: int):
@@ -380,7 +401,10 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostics only
             print(f"# e2e secondary failed: {e}", flush=True)
 
-    # LAST line = the headline — the one the driver parses
+    # recap every secondary, then the headline LAST — the driver parses the
+    # last JSON line, and its recorded tail now contains every metric even
+    # if the interleaved early prints scrolled off a capped tail
+    recap()
     emit(*headline)
 
 
