@@ -70,6 +70,25 @@ for _name, _nfe, _noise, _rs in (
         "refine_sigma": _rs, "split": "test",
         "script": "scripts/latent_distill_loop.sh", "round": 4,
     }
+# the round-3 NFE sweep (scripts/nfe_sweep.sh): same 100-epoch teacher as
+# report.json, solver x step-count grid on the test split
+for _solver in ("heun", "dpmpp_2m"):
+    for _steps in (5, 10, 25):
+        RECONSTRUCTED[f"report-{_solver}{_steps}.json"] = {
+            "run_name": "Latent-EDM-32x32x8-LogSpectrogram",
+            "recipe": "latent_edm", "train_epoch": 100,
+            "num_steps": _steps, "solver": _solver, "split": "test",
+            "script": "scripts/nfe_sweep.sh", "round": 3,
+        }
+# the round-4 dpmpp_2m@10 seed repeat (scripts/round4_loop.sh)
+for _seed in (1, 2, 3):
+    RECONSTRUCTED[f"report_dpmpp10_seed{_seed}.json"] = {
+        "run_name": "Latent-EDM-32x32x8-LogSpectrogram",
+        "recipe": "latent_edm", "train_epoch": 100,
+        "num_steps": 10, "solver": "dpmpp_2m", "seed": _seed,
+        "split": "test",
+        "script": "scripts/round4_loop.sh", "round": 4,
+    }
 # residuals.json is produced by tqdne-residuals from the same evaluation
 # HDF5 as report.json
 RECONSTRUCTED["residuals.json"] = dict(RECONSTRUCTED["report.json"])
