@@ -124,6 +124,12 @@ def main():
                        "rows_per_request": args.rows_per_request},
             "note": "full stack: HTTP + micro-batch coalescing + dpmpp_2m@10 "
                     "sampling + VAE decode + on-device Griffin-Lim + b64 payload",
+            # self-describing provenance so the curated copy in docs/quality
+            # passes scripts/restamp_reports.py --check
+            "provenance": {"script": "scripts/bench_serve_deployment.py",
+                           "round": 5, "workdir": args.workdir,
+                           "recipe": "latent_edm", "solver": "dpmpp_2m",
+                           "num_steps": 10},
         }
         print(json.dumps(result), flush=True)
         if args.out:

@@ -129,7 +129,14 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    result = {"eval_h5": str(args.eval_h5), "batch": bs, "rows": rows}
+    result = {
+        "eval_h5": str(args.eval_h5), "batch": bs, "rows": rows,
+        # self-describing provenance so the curated copy in docs/quality
+        # passes scripts/restamp_reports.py --check
+        "provenance": {"script": "scripts/gl_iter_sweep.py", "round": 5,
+                       "eval_h5": args.eval_h5.name, "length": args.length,
+                       "timing_reps": args.timing_reps},
+    }
     if args.out:
         args.out.write_text(json.dumps(result, indent=1))
         print(f"wrote {args.out}")

@@ -39,3 +39,27 @@ def test_plot_residuals(tmp_path, rng):
     out = tmp_path / "res.png"
     plot_residuals(rep, out)
     assert out.exists() and out.stat().st_size > 5000
+
+
+def test_residuals_cli_stamps_provenance(tmp_path, rng):
+    """The CLI copies provenance from the eval HDF5 into the JSON (same
+    contract as eval/report.py), so curated residuals.json passes
+    scripts/restamp_reports.py --check without a reconstruction entry."""
+    import h5py
+    import json
+
+    from tqdne_tpu.eval import residuals
+
+    n, t = 8, 256
+    prov = {"run_name": "X", "train_epoch": 3, "solver": "heun"}
+    p = tmp_path / "eval.h5"
+    with h5py.File(p, "w") as f:
+        f["target_waveform"] = rng.standard_normal((n, 3, t))
+        f["predicted_waveform"] = rng.standard_normal((n, 3, t))
+        f["hypocentral_distance"] = rng.uniform(10, 200, n)
+        f["magnitude"] = np.full(n, 6.0)
+        f["vs30"] = np.full(n, 400.0)
+        f.attrs["provenance"] = json.dumps(prov)
+    out = tmp_path / "residuals.json"
+    residuals.main([str(p), "--out", str(out), "--n-bins", "4"])
+    assert json.loads(out.read_text())["provenance"] == prov

@@ -106,7 +106,7 @@ def main(argv=None):
     parser.add_argument("--n-bins", type=int, default=20)
     args = parser.parse_args(argv)
 
-    tgt, gen, dist, mag, vs30 = [], [], [], [], []
+    tgt, gen, dist, mag, vs30, provs = [], [], [], [], [], []
     for p in args.files:
         with h5py.File(p, "r") as f:
             tgt.append(f["target_waveform"][()])
@@ -114,10 +114,24 @@ def main(argv=None):
             dist.append(f["hypocentral_distance"][()])
             mag.append(f["magnitude"][()])
             vs30.append(f["vs30"][()])
+            provs.append(json.loads(f.attrs["provenance"])
+                         if "provenance" in f.attrs else None)
     report = residual_report(
         np.concatenate(tgt), np.concatenate(gen), np.concatenate(dist),
         magnitude=np.concatenate(mag), vs30=np.concatenate(vs30), n_bins=args.n_bins,
     )
+    # same provenance contract as eval/report.py: the residual numbers
+    # self-describe the checkpoint/sampler that produced them, and merged
+    # inputs must agree or the disagreement is recorded, not hidden
+    if all(pv == provs[0] for pv in provs):
+        if provs[0] is not None:
+            report["provenance"] = provs[0]
+    else:
+        report["provenance"] = {
+            "mixed": provs,
+            "note": "input files carry differing provenance; see 'mixed' "
+                    "(one entry per input file, in argument order)",
+        }
     if args.plot:
         plot_residuals(report, args.plot)
     text = json.dumps(report, indent=2)
