@@ -3,11 +3,27 @@
 # The axon relay occasionally wedges a freshly-started process on its first
 # device call (observed twice round 3: all threads idle, blocked in
 # jax.Array._value forever).  Every stage is resumable, so: run the stage,
-# watch its stdout; if no output for STALL_SECS (default 25 min — longer
+# watch its PROGRESS; if none for STALL_SECS (default 25 min — longer
 # than the worst remote compile), kill and retry up to 3 times.
+#
+# Progress = newest mtime of the stage's stdout OR any metrics.jsonl under
+# $W/outputs (training stages log there, not to stdout; the train loop
+# also prints a 60 s stdout heartbeat, so either signal keeps a healthy
+# stage alive — round-5 lesson: the stdout-only rule killed a healthy
+# 40-epoch autoencoder run mid-stage and restarted it from its last
+# checkpoint, and would livelock any stage whose checkpoint interval
+# exceeds the stall window).
 STALL_SECS=${STALL_SECS:-1500}
 
 stage() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
+
+_newest_progress_mtime() {
+  # newest mtime among stage stdout ($1) and training metrics files
+  {
+    stat -c %Y "$1" 2>/dev/null
+    [ -n "${W:-}" ] && stat -c %Y "$W"/outputs/*/metrics.jsonl 2>/dev/null
+  } | sort -n | tail -1
+}
 
 run_watched() {
   local attempt
@@ -19,7 +35,7 @@ run_watched() {
     local pid=$!
     while kill -0 "$pid" 2>/dev/null; do
       sleep 30
-      local age=$(( $(date +%s) - $(stat -c %Y "$out") ))
+      local age=$(( $(date +%s) - $(_newest_progress_mtime "$out") ))
       if [ "$age" -gt "$STALL_SECS" ]; then
         echo "--- stage stalled ${age}s (attempt $attempt), dumping stacks + killing ---"
         kill -USR1 "$pid" 2>/dev/null || true

@@ -231,6 +231,16 @@ class Trainer:
                 self.writer.write(last_step, host)
                 pending.clear()
 
+            # stdout heartbeat (time-gated): steady-state training logs to
+            # metrics.jsonl only, so a supervisor watching stdout mtime
+            # (scripts/_watchdog.sh) would mistake a healthy multi-hour run
+            # for the axon first-device-call wedge and kill it mid-stage
+            now = time.monotonic()
+            if now - getattr(self, "_last_heartbeat", 0.0) >= 60.0:
+                self._last_heartbeat = now
+                print(f"[train] epoch {epoch + 1}/{self.max_epochs} "
+                      f"step {gstep}", flush=True)
+
             val_metrics = {}
             if val_loader is not None and (epoch + 1) % self.eval_every_epochs == 0:
                 val_metrics = self.validate(state, val_loader, gstep)
