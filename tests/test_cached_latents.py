@@ -110,3 +110,46 @@ def test_keys_pushdown_skips_waveform_read(tmp_path):
     assert {"waveform", "signal", "valid_index", "cond"} <= set(full)
     assert calls["n"] == 1
     ds.close()
+
+
+def test_device_resident_loader_matches_batchloader(tmp_path):
+    """DeviceResidentLoader (one upload + device-side gathers; the axon
+    device_put host-staging leak workaround) must yield the SAME batches
+    as BatchLoader for the same seed/epoch, and fits() must gate on the
+    byte budget and process count."""
+    import h5py
+    import numpy as np
+
+    from tqdne_tpu.data import representation as rep
+    from tqdne_tpu.data.dataset import CachedLatentsDataset, make_synthetic_dataset
+    from tqdne_tpu.data.pipeline import BatchLoader, DeviceResidentLoader
+
+    wf = tmp_path / "wf.h5"
+    make_synthetic_dataset(wf, n=32, t=256)
+    lat = tmp_path / "lat.h5"
+    with h5py.File(lat, "w") as f:
+        f["latent_mean"] = np.random.default_rng(0).normal(
+            size=(32, 4, 8, 8)).astype(np.float32)
+        f["latent_log_std"] = np.random.default_rng(1).normal(
+            size=(32, 4, 8, 8)).astype(np.float32)
+    keys = ("latent_mean", "latent_log_std", "cond")
+    ds_a = CachedLatentsDataset(wf, lat, rep.Identity(), cut=256, cond=True,
+                                split="train")
+    ds_b = CachedLatentsDataset(wf, lat, rep.Identity(), cut=256, cond=True,
+                                split="train")
+    assert DeviceResidentLoader.fits(ds_a, keys)
+    assert not DeviceResidentLoader.fits(ds_a, keys, budget_bytes=16)
+
+    ref = BatchLoader(ds_a, 8, shuffle=True, drop_last=True, keys=keys,
+                      prefetch=0)
+    res = DeviceResidentLoader(ds_b, 8, shuffle=True, drop_last=True,
+                               keys=keys)
+    assert len(ref) == len(res)
+    for epoch in range(2):
+        for a, b in zip(ref, res, strict=True):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)
+    ds_a.close()
+    ds_b.close()

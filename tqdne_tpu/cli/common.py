@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from tqdne_tpu import configs
 from tqdne_tpu.data.dataset import Dataset, make_synthetic_dataset
-from tqdne_tpu.data.pipeline import BatchLoader
+from tqdne_tpu.data.pipeline import BatchLoader, DeviceResidentLoader
 from tqdne_tpu.models.autoencoder import AutoencoderKL
 from tqdne_tpu.models.unet import UNet
 from tqdne_tpu.parallel.mesh import batch_sharding
@@ -141,7 +141,16 @@ def make_loaders(config, batch_size: int, *, cond: bool, mesh, val_batch: int | 
     sharding = batch_sharding(mesh)
     n_dev = mesh.devices.size
     vb = val_batch or max(n_dev, min(batch_size, (len(ds_val) // n_dev) * n_dev or n_dev))
-    train_loader = BatchLoader(ds_train, batch_size, sharding=sharding, keys=keys)
+    if latents_path is not None and DeviceResidentLoader.fits(ds_train, keys):
+        # cached-latent training: upload the (small) latent columns ONCE
+        # and gather batches on device.  Avoids the measured axon PJRT
+        # host-staging leak (~8 MB RSS per 8 MB device_put, gc-immune)
+        # that OOM-killed the 640-epoch distill run at 130 GB, and takes
+        # the host loader off the step critical path (data/pipeline.py).
+        train_loader = DeviceResidentLoader(ds_train, batch_size,
+                                            sharding=sharding, keys=keys)
+    else:
+        train_loader = BatchLoader(ds_train, batch_size, sharding=sharding, keys=keys)
     val_loader = BatchLoader(
         ds_val, vb, shuffle=False, drop_last=True, sharding=sharding,
         keys=val_keys if val_keys is not None else keys,

@@ -18,6 +18,7 @@ from typing import Iterator
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from tqdne_tpu.data.dataset import Dataset
 
@@ -167,3 +168,112 @@ class BatchLoader:
                 raise item
             yield item
         thread.join()
+
+
+def _chunked_put(v: np.ndarray, sharding=None,
+                 chunk_bytes: int = 16 << 20) -> jax.Array:
+    """device_put in <=chunk_bytes row slices + on-device concatenate.
+    The axon relay rejects single transfers over ~32 MB; chunking also
+    bounds the per-put host staging cost."""
+    rows = max(1, int(chunk_bytes // max(1, v.nbytes // max(1, len(v)))))
+    if len(v) <= rows:
+        return jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+    chunks = [
+        jax.device_put(v[s : s + rows], sharding) if sharding is not None
+        else jax.device_put(v[s : s + rows])
+        for s in range(0, len(v), rows)
+    ]
+    out = jax.jit(jnp.concatenate, out_shardings=sharding)(chunks) \
+        if sharding is not None else jnp.concatenate(chunks)
+    out.block_until_ready()
+    return out
+
+
+class DeviceResidentLoader:
+    """Epoch iterable whose batches are DEVICE-SIDE gathers from a one-time
+    resident copy of the requested dataset columns.
+
+    Motivation (round 5, measured): the axon PJRT client leaks the host
+    staging buffer of every ``jax.device_put`` — ~8 MB of host RSS per
+    8.4 MB put, never reclaimed, immune to ``gc.collect()``.  A 640-epoch
+    cached-latent distillation run transfers ~17 MB of latent moments per
+    step through ``BatchLoader`` and was OOM-killed at 130 GB RSS.  Small
+    training sets (cached latents: ~460 MB for the flagship chain) are
+    better uploaded ONCE; per-step traffic then drops to a single int32
+    index vector, and the host loader leaves the step critical path
+    entirely (device gathers overlap with dispatch).
+
+    Falls back are the caller's job (``fits()``): multi-host runs and
+    datasets larger than the byte budget should keep using BatchLoader.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        *,
+        keys: tuple[str, ...],
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        sharding: jax.sharding.Sharding | None = None,
+        channels_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        # one host read of every requested column, one (chunked) put per
+        # column.  Chunked because a single host->device transfer over
+        # ~32 MB fails through the axon relay (INVALID_ARGUMENT payload
+        # limit, BENCH_NOTES): rows go up in <=16 MB slices and are
+        # concatenated on device.
+        host = dataset.load_batch(np.arange(len(dataset)), keys=keys)
+        host = {k: v for k, v in host.items() if k in keys}
+        if channels_last:
+            host = to_channels_last(host)
+        replicated = None
+        if sharding is not None:
+            replicated = jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec()
+            )
+            out_shardings = {k: sharding for k in host}
+        else:
+            out_shardings = None
+        self._resident = {k: _chunked_put(v, replicated) for k, v in host.items()}
+        del host
+        # jitted gather: resident (replicated) columns -> sharded batch
+        self._gather = jax.jit(
+            lambda cols, idx: {k: v[idx] for k, v in cols.items()},
+            out_shardings=out_shardings,
+        )
+
+    @staticmethod
+    def fits(dataset: Dataset, keys: tuple[str, ...],
+             budget_bytes: int = 2 << 30) -> bool:
+        """Whether the requested columns fit the device-resident budget.
+        Estimated from one row; multi-host runs never fit (each host owns
+        a different shard of the global batch)."""
+        if jax.process_count() > 1:
+            return False
+        row = dataset.load_batch(np.arange(1), keys=keys)
+        per_row = sum(v.nbytes for k, v in row.items() if k in keys)
+        return per_row * len(dataset) <= budget_bytes
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        self.epoch += 1
+        end = n - (n % self.batch_size) if self.drop_last else n
+        for s in range(0, end, self.batch_size):
+            batch_idx = jnp.asarray(idx[s : s + self.batch_size])
+            yield self._gather(self._resident, batch_idx)
