@@ -26,8 +26,12 @@ _newest_progress_mtime() {
 }
 
 run_watched() {
+  # 5 attempts: the axon wedge can strike any device call (round 5: a
+  # mid-run block_until_ready at step 8424 of a healthy distill stage),
+  # and every stage is checkpoint-resumable, so retries are cheap — the
+  # cap only guards against a deterministic crash looping forever
   local attempt
-  for attempt in 1 2 3; do
+  for attempt in 1 2 3 4 5; do
     local out
     out=$(mktemp /tmp/stage_out.XXXXXX)
     echo "--- stage output: $out (attempt $attempt) ---"
