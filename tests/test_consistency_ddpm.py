@@ -119,25 +119,26 @@ def test_consistency_sample_noise_conventions():
 
 
 def test_consistency_sample_auto_convention_table():
-    """Pins the measured-best per-NFE defaults (VERDICT r4 weak #3 /
-    docs/quality CD tables): 'auto' resolves to 'reference' at NFE 1
-    (no refinement sigmas — its unscaled init measured the best student
-    FID) and to 'song' at NFE >= 2 (variance-matched refinement restores
-    NFE-2-beats-NFE-1 and the spectral statistics)."""
+    """Pins the measured-best defaults (VERDICT r4 weak #3 + round-5
+    re-measurement, docs/quality CD tables): 'auto' resolves to 'song'
+    at EVERY NFE.  The round-4 short student's NFE-1 preference for the
+    reference convention (39.2 vs 82.8) was an undertrained-student
+    artifact — on the converged 640-epoch student the ordering flipped
+    decisively (song 46.4/54.0 vs reference 203.5/207.5 at NFE 1/2)."""
 
     def net(x, sigma, cond):
         return 0.5 * x
 
     shape = (4, 256, 1)
-    # NFE 1: auto == reference, != song
+    # NFE 1: auto == song, != reference
     out_auto = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
                                      sigmas=(), noise="auto")
     out_ref = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
                                     sigmas=(), noise="reference")
     out_song = cm.consistency_sample(CFG, net, jax.random.key(7), shape,
                                      sigmas=(), noise="song")
-    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_ref))
-    assert not np.allclose(np.asarray(out_auto), np.asarray(out_song))
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_song))
+    assert not np.allclose(np.asarray(out_auto), np.asarray(out_ref))
 
     # NFE 2: auto == song, != reference
     out_auto2 = cm.consistency_sample(CFG, net, jax.random.key(7), shape,

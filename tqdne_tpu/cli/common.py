@@ -469,8 +469,8 @@ def build_inference(recipe_key: str, workdir: str, dtype=jnp.bfloat16, *,
         # num_steps = total network evals: one sigma_max shot + N-1
         # refinement passes at refine_sigma (consistency_model.py:81-106
         # defaults sigma=1); consistency_noise default "auto" = the
-        # measured-best convention per NFE ("reference" at NFE 1, "song"
-        # at NFE >= 2 — see diffusion/consistency.py:consistency_sample)
+        # measured-best convention ("song" at every NFE on the converged
+        # round-5 student — see diffusion/consistency.py:consistency_sample)
         refine_sigmas = (refine_sigma,) * max(0, num_steps - 1)
         cast = dtype if dtype == jnp.bfloat16 else None
 

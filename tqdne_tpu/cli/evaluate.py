@@ -96,8 +96,8 @@ def main(argv=None):
     parser.add_argument("--consistency-noise", type=str, default="auto",
                         choices=["auto", "song", "reference"],
                         help="consistency/distill sampling convention: 'auto' "
-                             "(measured-best per NFE: 'reference' at NFE 1, "
-                             "'song' at NFE >= 2 — docs/quality CD tables), "
+                             "(measured-best: 'song' at every NFE on the "
+                             "converged student — docs/quality CD tables), "
                              "'song' (variance-matched Gaussian, Song et al. "
                              "2023 Alg. 1) or 'reference' (the reference's "
                              "unscaled init + uniform refinement)")

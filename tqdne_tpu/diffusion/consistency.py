@@ -176,23 +176,25 @@ def consistency_sample(
       (consistency_model.py:97-104): the initial draw is N(0, 1)
       *unscaled* by sigma_max, and refinement adds UNIFORM [0,1) noise
       (``torch.rand_like``).  Both deviate from the paper.
-    - ``"auto"`` (default): the measured-best convention for the
-      requested NFE (docs/quality/README.md round-4/5 CD tables):
-      at NFE 1 (no refinement steps) "reference" — its unscaled
-      N(0, 1) initial draw measured the best student FID (39.2 vs
-      song's 82.8 on the 160-epoch student; the long-budget retrain
-      confirms the ordering) — and at NFE >= 2 "song", whose
-      variance-matched refinement restores the expected NFE-2-beats-
-      NFE-1 ordering that the reference's uniform [0,1) re-noising
-      inverts (121.8 vs 39.2) and wrecks spectrally (ASD 607 vs 172).
+    - ``"auto"`` (default): the measured-best convention, re-measured on
+      each round's best student — currently "song" at EVERY NFE.
+      History (docs/quality/README.md CD tables): on the SHORT
+      (160-epoch, mu=0.95) round-4 student the reference's unscaled
+      N(0, 1) init won FID at NFE 1 (39.2 vs song's 82.8) — an
+      undertrained-student artifact.  On the round-5 LONG student
+      (640 epochs, mu=0.999) the ordering FLIPPED decisively: song
+      46.4 / 54.0 FID at NFE 1/2 vs reference 203.5 / 207.5 — the
+      converged student expects the on-distribution sigma_max draw it
+      was trained on, and the reference's conventions (unscaled init,
+      uniform [0,1) refinement noise) are unambiguously a bug at every
+      NFE, consistent with Song et al.'s procedure.
 
-    Per-NFE nuance, measured: the reference convention is NOT uniformly
-    worse — at NFE 1 it wins FID (song wins ASD Frechet at every NFE);
-    at NFE >= 2 its uniform refinement noise is unambiguously a bug.
-    ``tests/test_consistency_ddpm.py`` pins the auto table.
+    ``tests/test_consistency_ddpm.py`` pins the auto table; re-measure
+    (scripts/round4_distill_long.sh sweeps both conventions at NFE 1-2)
+    before changing it.
     """
     if noise == "auto":
-        noise = "reference" if len(tuple(sigmas)) == 0 else "song"
+        noise = "song"
     if noise not in ("song", "reference"):
         raise ValueError(
             f"unknown noise mode {noise!r}; use 'auto', 'song' or 'reference'")
