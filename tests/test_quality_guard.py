@@ -48,3 +48,26 @@ def test_cd_band_mode(tmp_path):
     r = _run("--cd", "--teacher", teacher, bad)
     assert r.returncode == 1
     assert "CD-STUDENT" in r.stdout
+
+
+def test_deployment_dominance_is_chain_relative(tmp_path):
+    """With an own-chain report_teacher.json next to the seed reports, the
+    guard is chain-relative: a band excursion from chain variance passes as
+    long as dpmpp@10 still dominates the teacher's Heun-25 FID, while a
+    solver regression that loses to the teacher fails regardless of band."""
+    committed = sorted((REPO / "docs" / "quality").glob("report_dpmpp10_seed*.json"))
+    mean = sum(json.loads(p.read_text())["fid"] for p in committed) / len(committed)
+
+    # weaker chain: seeds ~mean+10 (outside the +-6 band) but teacher is 28
+    _write(tmp_path, "report_teacher.json", 28.0)
+    seeds = [_write(tmp_path, f"s{i}.json", mean + 10 + d)
+             for i, d in enumerate((-0.5, 0.5))]
+    r = _run(*seeds)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "chain quality variance" in r.stdout
+
+    # solver regression: seeds no longer beat the own-chain teacher
+    bad = [_write(tmp_path, f"b{i}.json", 27.0) for i in range(2)]
+    r = _run(*bad)
+    assert r.returncode == 1
+    assert "no longer dominates" in r.stdout
