@@ -100,9 +100,11 @@ def main():
             mb = jnp.asarray(mag[s : s + bs])
             wf = inv(mb, jax.random.key(rep.seed))
             out[s : s + bs] = np.asarray(wf, np.float32)
-            # spectral convergence vs the generated magnitude target
-            re_mag = np.abs(
-                np.asarray(jspectral.stft(wf, rep.n_fft, rep.hop), np.complex64)
+            # spectral convergence vs the generated magnitude target —
+            # |STFT| is taken ON DEVICE: the axon relay cannot fetch
+            # complex64 arrays (UNIMPLEMENTED), only reals
+            re_mag = np.asarray(
+                jnp.abs(jspectral.stft(wf, rep.n_fft, rep.hop))
             )
             mb_np = np.asarray(mb)
             sc_num += float(((re_mag - mb_np) ** 2).sum())
